@@ -1,0 +1,95 @@
+"""Vectorized validation + defaults + valid/invalid routing.
+
+Replaces the reference's per-row `jsonschema.validate`
+(reference: schema/schema_validator.py:44-65 — V1), `_apply_defaults`
+(schema_validator.py:113-130 — V2), `get_schema_errors`
+(schema_validator.py:147-169 — V3) and the producer's validity router
+(src/producer.py:165-214 — R1) with whole-column expressions: every
+predicate is JVM-side and codegen'd, no per-row Python
+(BASELINE.json input_hint). The reference validates twice (producer
+src/producer.py:177 and consumer src/consumer.py:118); we validate
+exactly once per event by construction (SURVEY.md R2).
+
+Rules (change-event envelope, analog of event_schema.yaml:5-63):
+  - op       required, enum {insert, update, delete}    (like event_type enum)
+  - repo     required (like required user_id)
+  - path     required
+  - lsn      required, >= 0                              (like amount >= 0)
+  - content  required unless op = delete
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import OPS
+
+VALID_FLAG = "_valid"
+ERROR_COL = "_error_message"
+
+
+def validation_errors() -> Column:
+    """Per-row semicolon-joined error string (empty ⇒ valid).
+
+    Mirrors `get_schema_errors` (reference: schema_validator.py:147-169)
+    as one `concat_ws` of `when` predicates — rule order preserved so the
+    first/most-specific failure leads the message, which the DLQ
+    categorizer (functions/dlq.py) keys off.
+    """
+    return F.concat_ws(
+        "; ",
+        F.when(F.col("repo").isNull(), F.lit("missing required field 'repo'")),
+        F.when(F.col("path").isNull(), F.lit("missing required field 'path'")),
+        F.when(F.col("op").isNull(), F.lit("missing required field 'op'")),
+        F.when(
+            F.col("op").isNotNull() & ~F.col("op").isin(*OPS),
+            F.concat(F.lit("invalid enum value for 'op': "), F.col("op")),
+        ),
+        F.when(F.col("lsn").isNull(), F.lit("missing required field 'lsn'")),
+        F.when(F.col("lsn") < 0, F.lit("'lsn' must be >= 0")),
+        F.when(
+            (F.col("op") != "delete") & F.col("content").isNull(),
+            F.lit("missing required field 'content'"),
+        ),
+    )
+
+
+def apply_defaults(df: DataFrame) -> DataFrame:
+    """V2 — schema defaults, applied BEFORE validation like the reference
+    (schema_validator.py:113-130: defaults filled, then validated).
+
+    The reference synthesizes `event_id` (uuid4) and `timestamp` (now());
+    both are non-deterministic and would break replay-equality, so our
+    analogs derive from the event itself: a missing `commit` becomes a
+    content hash prefix, a missing `ts` derives from `lsn`. A missing
+    `lang` defaults to 'other' (analog of source='web'/version='1.0',
+    event_schema.yaml:56-63).
+    """
+    return df.withColumns(
+        {
+            "commit": F.coalesce(
+                F.col("commit"),
+                F.substring(F.sha2(F.concat_ws("|", "repo", "path", "lsn"), 256), 1, 12),
+            ),
+            "ts": F.coalesce(F.col("ts"), F.timestamp_seconds(F.lit(1_700_000_000) + F.col("lsn"))),
+            "lang": F.coalesce(
+                F.col("lang"), F.when(F.col("op") != "delete", F.lit("other"))
+            ),
+        }
+    )
+
+
+def validate_and_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """R1 — single-pass router: returns (valid, invalid_with_error).
+
+    One `withColumn` + twin filters; inside `foreachBatch` the caller
+    persists the flagged frame so the source is scanned once (SURVEY.md
+    R1: "split, not two scans").
+    """
+    flagged = df.withColumn(ERROR_COL, validation_errors()).withColumn(
+        VALID_FLAG, F.col(ERROR_COL) == ""
+    )
+    valid = flagged.filter(F.col(VALID_FLAG)).drop(VALID_FLAG, ERROR_COL)
+    invalid = flagged.filter(~F.col(VALID_FLAG)).drop(VALID_FLAG)
+    return valid, invalid

@@ -1,0 +1,63 @@
+"""(key, LSN) last-writer-wins dedup — the reference has NO dedup at all
+(duplicates are written twice; SURVEY.md §2.1 "Streaming-only semantics"),
+so this operator is new capability required by the north star.
+
+Implementation: `groupBy(key).agg(max_by(struct(*), order))` — a single
+hash aggregate with map-side partial aggregation, NOT a window
+(`row_number` would force a full sort per key; `max_by` is
+O(n) with partial combine — SURVEY.md §2.1 "Aggregations").
+
+Hot-key salting: one (repo, path) key receiving a large fraction of a
+batch (a bot rewriting one file) funnels into a single reducer. The
+two-phase variant salts the first aggregation with
+`pmod(xxhash64(lsn), k)` so the hot key's rows combine across k
+reducers, then a second (tiny) aggregation resolves the winner. The
+salt is applied ONLY to the shuffle — never to the merge key
+(SURVEY.md §7 "salting that preserves MERGE correctness").
+
+Order key is `(lsn, commit)` — a total order even for exact duplicate
+re-deliveries (same lsn ⇒ same row, so the tiebreak is inert but keeps
+the aggregation deterministic).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def lww_dedup(
+    df: DataFrame,
+    key: Sequence[str] = ("repo", "path"),
+    order: Sequence[str] = ("lsn", "commit"),
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Return one row per key: the one with the greatest (lsn, commit).
+
+    Output column order == input column order.
+    """
+    cols = df.columns
+    row = F.struct(*[F.col(c) for c in cols])
+    ordk = F.struct(*[F.col(c) for c in order])
+
+    if salt_buckets > 1:
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in order]), F.lit(salt_buckets)).alias("_salt")
+        phase1 = (
+            df.groupBy(*key, salt)
+            .agg(F.max_by(row, ordk).alias("_r"))
+        )
+        ordk2 = F.struct(*[F.col(f"_r.{c}") for c in order])
+        winners = phase1.groupBy(*key).agg(F.max_by(F.col("_r"), ordk2).alias("_r"))
+    else:
+        winners = df.groupBy(*key).agg(F.max_by(row, ordk).alias("_r"))
+    return winners.select(*[F.col(f"_r.{c}").alias(c) for c in cols])
+
+
+def exact_dedup(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Exact duplicate removal via hash-groupBy (maps to Spark's
+    `dropDuplicates`, kept explicit for plan control). With ``cols``
+    the first row per group by natural aggregation is NOT deterministic,
+    so callers wanting determinism should use :func:`lww_dedup`."""
+    return df.dropDuplicates(list(cols) if cols else None)

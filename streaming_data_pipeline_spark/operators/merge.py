@@ -1,0 +1,160 @@
+"""Key-partitioned copy-on-write MERGE (upsert/delete) into the lake.
+
+The reference is append-only (no upsert/merge anywhere —
+SURVEY.md §4 "MERGE/upsert: absent"); the north star requires
+key-partitioned MERGE INTO with LWW and tombstones. Spark SQL's
+`MERGE INTO` needs a DSv2 row-level-operations catalog (Iceberg/Delta
+jars — unavailable offline), so this is the classic emulation:
+deduped source ⟗ (full outer join) target, resolved by LSN, rewriting
+only the buckets the source touches.
+
+Scale analysis (the part that must survive 100 TB):
+- Source is LWW-deduped first (operators/dedup.py, salted two-phase
+  aggregate) ⇒ at most one row per key enters the join.
+- Touched buckets are computed from the deduped source (≤ n_buckets
+  distinct values — a bounded collect), and the target scan reads ONLY
+  manifest files in those buckets: a microbatch touching 3% of buckets
+  reads and rewrites 3% of the table, independent of table size.
+- The join shuffles both sides on hash(repo, path) — the same function
+  as the bucket layout. Composite-key hashing spreads hot repos across
+  partitions (a hot repo's paths scatter); residual skew is covered by
+  AQE skew-join (session.py). The expensive column (`content`,
+  ~KB/row) is carried through exactly one shuffle on each side.
+- Deletes become tombstones (_deleted=true, delete's lsn kept) so a
+  stale update replayed after a delete cannot resurrect the key;
+  delete-of-absent-key inserts a tombstone (a no-op in the live view).
+- Output is re-clustered by bucket and sorted by key within files ⇒
+  deterministic layout (SURVEY.md §7.6) and file-skipping-friendly
+  min/max stats at rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans.lake import SnapshotTable, bucket_col
+from ..schemas import LAKE_KEY
+from .dedup import lww_dedup
+
+
+def source_to_lake_rows(changes: DataFrame, lake_schema: T.StructType) -> DataFrame:
+    """Map validated change events to lake-row shape: `_deleted` from op,
+    missing (newer-schema) columns as typed nulls."""
+    out = changes.withColumn("_deleted", F.col("op") == "delete").drop("op")
+    for f in lake_schema.fields:
+        if f.name not in out.columns:
+            out = out.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return out.select(*[f.name for f in lake_schema.fields])
+
+
+def align_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
+    out = df
+    for f in schema.fields:
+        if f.name not in out.columns:
+            out = out.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return out.select(*[f.name for f in schema.fields])
+
+
+def merge_into(
+    spark: SparkSession,
+    table: SnapshotTable,
+    changes: DataFrame,
+    *,
+    epoch: int | None = None,
+    new_schema: T.StructType | None = None,
+    salt_buckets: int = 8,
+    operation: str = "merge",
+) -> dict:
+    """LWW-merge ``changes`` (validated CHANGE_EVENT rows, payload already
+    promoted) into ``table``. Returns a summary dict (also recorded in
+    the snapshot metadata): counts + per-bucket lineage.
+    """
+    lake_schema = new_schema or table.schema()
+    n_buckets = table.n_buckets
+
+    deduped = lww_dedup(changes, key=LAKE_KEY, order=("lsn", "commit"), salt_buckets=salt_buckets)
+    src = source_to_lake_rows(deduped, lake_schema).withColumn(
+        "_bucket", bucket_col(n_buckets)
+    )
+    # Cache: reused for touched-bucket discovery and the join. At most one
+    # row per key per microbatch — bounded by batch size, not table size.
+    src = src.persist()
+    try:
+        touched = {r[0] for r in src.select("_bucket").distinct().collect()}
+        if not touched:
+            ver = table.commit(
+                new_files=[], replaced_buckets=set(), schema=lake_schema,
+                epoch=epoch, operation=operation,
+                summary={"source_rows": 0, "touched_buckets": []},
+            )
+            return {"version": ver, "source_rows": 0, "touched_buckets": [], "files": []}
+
+        target = align_to_schema(table.read(spark, buckets=touched), lake_schema)
+
+        cols = [f.name for f in lake_schema.fields]
+        s = src.select(*[F.col(c).alias(f"_s_{c}") for c in cols + ["_bucket"]])
+        t = target.select(*[F.col(c).alias(f"_t_{c}") for c in cols])
+
+        cond = (F.col("_s_repo").eqNullSafe(F.col("_t_repo"))) & (
+            F.col("_s_path").eqNullSafe(F.col("_t_path"))
+        )
+        joined = s.join(t, cond, "full_outer")
+
+        has_src = F.col("_s_repo").isNotNull()
+        has_tgt = F.col("_t_repo").isNotNull()
+        apply_src = has_src & (~has_tgt | (F.col("_s_lsn") > F.col("_t_lsn")))
+
+        resolved_cols = []
+        for c in cols:
+            if c in LAKE_KEY:
+                resolved_cols.append(F.coalesce(F.col(f"_s_{c}"), F.col(f"_t_{c}")).alias(c))
+            else:
+                resolved_cols.append(
+                    F.when(apply_src, F.col(f"_s_{c}")).otherwise(F.col(f"_t_{c}")).alias(c)
+                )
+        result = joined.select(
+            *resolved_cols,
+            F.coalesce(F.col("_s__bucket"), bucket_col(n_buckets, "_t_repo", "_t_path")).alias("_bucket"),
+            apply_src.alias("_applied"),
+        )
+
+        obs = Observation(f"merge-{epoch}")
+        result = result.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_out"),
+            F.sum(F.col("_applied").cast("long")).alias("rows_applied"),
+            F.sum(F.col("_deleted").cast("long")).alias("tombstones"),
+        )
+
+        nv = table.current_version() + 1
+        staging = table.staging_dir(nv)
+        (
+            result.drop("_applied")
+            .repartition(F.col("_bucket"))
+            .sortWithinPartitions("_bucket", *LAKE_KEY)
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(staging)
+        )
+        new_files = table.collect_written_files(staging)
+        metrics = obs.get
+        summary = {
+            "source_rows": int(metrics["rows_applied"] or 0),
+            "rows_out": int(metrics["rows_out"] or 0),
+            "tombstones": int(metrics["tombstones"] or 0),
+            "touched_buckets": sorted(touched),
+            "files_written": len(new_files),
+        }
+        ver = table.commit(
+            new_files=new_files,
+            replaced_buckets=touched,
+            schema=lake_schema,
+            epoch=epoch,
+            operation=operation,
+            summary=summary,
+        )
+        return {"version": ver, "files": new_files, **summary}
+    finally:
+        src.unpersist()

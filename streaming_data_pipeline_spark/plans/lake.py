@@ -1,0 +1,259 @@
+"""Snapshot-versioned, key-bucketed Parquet table with Iceberg semantics.
+
+The reference's sink is a directory of independently-schema'd Parquet
+files with no table abstraction, no catalog, no reads-back
+(reference: src/sink_writer.py:84-171). The north star requires an
+Iceberg lake; the sandbox has no Iceberg/Delta jars and no network, so
+this module implements the Iceberg *semantics* we need — snapshot
+isolation, atomic commits, manifests, schema evolution history,
+time-travel reads, partition (bucket) pruning — in pure Python/JSON
+metadata over Parquet data files, behind an API shaped so a real
+Iceberg catalog (`MERGE INTO` + `spark-iceberg-runtime`) is a config
+swap on a real cluster (SURVEY.md §7.2).
+
+Layout:
+    <root>/metadata/v{N}.json          table metadata (schema json,
+                                       snapshot log, current id)
+    <root>/metadata/manifest-{N}.json  data-file list for snapshot N
+                                       (path, bucket, rows) — the
+                                       per-partition lineage substrate
+    <root>/metadata/version-hint.text  latest committed version
+    <root>/data/snap-{N}/bucket={b}/*.parquet
+
+Atomicity: metadata is written to a temp file, fsync'd, then
+`os.rename`'d into place — rename is atomic on POSIX. Commits are
+optimistic: `v{N}.json` is created with O_EXCL semantics (we refuse to
+overwrite), so a concurrent second writer loses cleanly. Multi-writer
+coordination beyond that is a catalog's job (as in real Iceberg).
+
+Bucketing: `bucket = pmod(xxhash64(repo, path), n_buckets)` — the same
+function Spark uses at shuffle time, so MERGE's join and the write
+layout agree. Copy-on-write MERGE rewrites only touched buckets; at
+100 TB you raise n_buckets (thousands) so a microbatch touching k
+buckets rewrites k/n_buckets of the table, and bucket files stay
+within executor-memory-sized units via maxRecordsPerFile.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FORMAT_VERSION = 1
+
+
+def bucket_col(n_buckets: int, repo: str = "repo", path: str = "path"):
+    return F.pmod(F.xxhash64(F.col(repo), F.col(path)), F.lit(n_buckets))
+
+
+def _atomic_write_json(obj: dict, dest: str) -> None:
+    d = os.path.dirname(dest)
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(obj, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, dest)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+class SnapshotTable:
+    """Single-table lake with snapshot isolation and bucket pruning."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.meta_dir = os.path.join(root, "metadata")
+        self.data_dir = os.path.join(root, "data")
+
+    # ---------------- lifecycle ----------------
+
+    @classmethod
+    def create(cls, root: str, schema: T.StructType, n_buckets: int = 32) -> "SnapshotTable":
+        t = cls(root)
+        if os.path.exists(os.path.join(t.meta_dir, "v0.json")):
+            raise FileExistsError(f"table already exists at {root}")
+        meta = {
+            "format_version": FORMAT_VERSION,
+            "version": 0,
+            "n_buckets": n_buckets,
+            "schema": json.loads(schema.json()),
+            "schema_log": [{"version": 0, "schema": json.loads(schema.json())}],
+            "current_snapshot_id": 0,
+            "snapshots": {"0": {"manifest": "manifest-0.json", "epoch": None, "operation": "create", "summary": {}}},
+        }
+        _atomic_write_json({"files": []}, os.path.join(t.meta_dir, "manifest-0.json"))
+        _atomic_write_json(meta, os.path.join(t.meta_dir, "v0.json"))
+        _atomic_write_json({"v": 0}, os.path.join(t.meta_dir, "version-hint.json"))
+        return t
+
+    @classmethod
+    def load(cls, root: str) -> "SnapshotTable":
+        t = cls(root)
+        t.current_version()  # raises if absent
+        return t
+
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.meta_dir, "v0.json"))
+
+    def current_version(self) -> int:
+        hint = os.path.join(self.meta_dir, "version-hint.json")
+        v = -1
+        if os.path.exists(hint):
+            with open(hint) as f:
+                v = json.load(f)["v"]
+        # hint update can lag the committed metadata file by a crash window;
+        # roll forward to the highest v{N}.json actually present.
+        while os.path.exists(os.path.join(self.meta_dir, f"v{v + 1}.json")):
+            v += 1
+        if v < 0:
+            raise FileNotFoundError(f"no table at {self.root}")
+        return v
+
+    def metadata(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
+            return json.load(f)
+
+    def schema(self, version: int | None = None) -> T.StructType:
+        return T.StructType.fromJson(self.metadata(version)["schema"])
+
+    @property
+    def n_buckets(self) -> int:
+        return self.metadata()["n_buckets"]
+
+    # ---------------- reads ----------------
+
+    def manifest(self, version: int | None = None) -> list[dict]:
+        meta = self.metadata(version)
+        snap = meta["snapshots"][str(meta["current_snapshot_id"])]
+        with open(os.path.join(self.meta_dir, snap["manifest"])) as f:
+            return json.load(f)["files"]
+
+    def files(self, version: int | None = None, buckets: set[int] | None = None) -> list[str]:
+        entries = self.manifest(version)
+        if buckets is not None:
+            entries = [e for e in entries if e["bucket"] in buckets]
+        return [os.path.join(self.root, e["path"]) for e in entries]
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        buckets: set[int] | None = None,
+    ) -> DataFrame:
+        """Snapshot (time-travel) read; ``buckets`` prunes data files via
+        the manifest — the scan never lists or opens untouched buckets."""
+        schema = self.schema(version)
+        files = self.files(version, buckets)
+        if not files:
+            return spark.createDataFrame([], schema)
+        # explicit schema ⇒ files written before a schema evolution read
+        # their missing (newer) columns as null — by-name reconciliation.
+        return spark.read.schema(schema).parquet(*files)
+
+    def current_state(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Live view: tombstones filtered out."""
+        return self.read(spark, version).filter(~F.col("_deleted"))
+
+    # ---------------- commits ----------------
+
+    def staging_dir(self, version: int) -> str:
+        return os.path.join(self.data_dir, f"snap-{version}")
+
+    def commit(
+        self,
+        *,
+        new_files: list[dict],
+        replaced_buckets: set[int],
+        schema: T.StructType | None = None,
+        epoch: int | None = None,
+        operation: str = "merge",
+        summary: dict | None = None,
+    ) -> int:
+        """Atomically publish snapshot v+1 = (old manifest − replaced
+        buckets) ∪ new_files. Returns the new version id."""
+        v = self.current_version()
+        meta = self.metadata(v)
+        carried = [e for e in self.manifest(v) if e["bucket"] not in replaced_buckets]
+        files = carried + new_files
+        nv = v + 1
+        man_name = f"manifest-{nv}.json"
+        _atomic_write_json({"files": files}, os.path.join(self.meta_dir, man_name))
+
+        meta["version"] = nv
+        meta["current_snapshot_id"] = nv
+        if schema is not None:
+            new_schema = json.loads(schema.json())
+            if new_schema != meta["schema"]:
+                meta["schema"] = new_schema
+                meta["schema_log"].append({"version": nv, "schema": new_schema})
+        meta["snapshots"][str(nv)] = {
+            "manifest": man_name,
+            "epoch": epoch,
+            "operation": operation,
+            "summary": summary or {},
+        }
+        dest = os.path.join(self.meta_dir, f"v{nv}.json")
+        if os.path.exists(dest):
+            raise FileExistsError(f"concurrent commit detected at {dest}")
+        _atomic_write_json(meta, dest)
+        _atomic_write_json({"v": nv}, os.path.join(self.meta_dir, "version-hint.json"))
+        return nv
+
+    # ---------------- utilities ----------------
+
+    def collect_written_files(self, staging: str) -> list[dict]:
+        """Inventory bucket=*/part-*.parquet under a staging dir, with row
+        counts from the Parquet footers (at cluster scale these stats come
+        from task commit messages; a local footer read is the sandbox
+        equivalent)."""
+        import pyarrow.parquet as pq
+
+        out: list[dict] = []
+        if not os.path.isdir(staging):
+            return out
+        for bdir in sorted(os.listdir(staging)):
+            if not bdir.startswith("_bucket="):
+                continue
+            b = int(bdir.split("=", 1)[1])
+            for fn in sorted(os.listdir(os.path.join(staging, bdir))):
+                if not fn.endswith(".parquet"):
+                    continue
+                full = os.path.join(staging, bdir, fn)
+                rows = pq.ParquetFile(full).metadata.num_rows
+                out.append(
+                    {
+                        "path": os.path.relpath(full, self.root),
+                        "bucket": b,
+                        "rows": rows,
+                    }
+                )
+        return out
+
+    def state_hash(self, spark: SparkSession, version: int | None = None) -> str:
+        """Deterministic content hash of the CURRENT (non-deleted) state:
+        order-insensitive xor-fold of per-row sha256 over the canonical
+        row string. Used by replay/exactly-once equality tests."""
+        df = self.current_state(spark, version)
+        cols = [f.name for f in df.schema.fields]
+        canon = F.sha2(F.to_json(F.struct(*[F.col(c) for c in sorted(cols)])), 256)
+        # fold 4 independent 16-hex-digit windows of the sha as unsigned-ish
+        # longs summed mod 2^64 — order-insensitive and collision-resistant
+        # enough for test equality.
+        h = F.col("h")
+        parts = [
+            F.sum(F.conv(F.substring(h, 1 + 16 * i, 16), 16, 10).cast("decimal(38,0)")).cast("string")
+            for i in range(4)
+        ]
+        row = df.select(canon.alias("h")).agg(*[p.alias(f"p{i}") for i, p in enumerate(parts)],
+                                              F.count("*").alias("n")).collect()[0]
+        return "|".join(str(x) for x in row)

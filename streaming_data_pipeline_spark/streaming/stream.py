@@ -1,0 +1,81 @@
+"""Structured Streaming tailer: file-source WAL → foreachBatch → lake.
+
+The change log is a directory of Parquet files tailed with
+`readStream` — the sandbox stand-in for the binlog/WAL; on a real
+cluster swapping `format("parquet")` for `format("kafka")` +
+`from_json(value)` is a config change (the reference's Kafka
+consumer, src/consumer.py:50-88, maps to exactly that — SURVEY.md §1.4).
+
+Delivery: Spark's checkpoint WAL gives a stable, replayable batch_id
+per offset range; run_epoch's marker protocol (exactly_once.py) turns
+the at-least-once `foreachBatch` contract into exactly-once table
+commits. `availableNow` drains the backlog and stops (replay-to-drain
+for tests/bench); `processingTime` soaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..plans.lake import SnapshotTable
+from ..schemas import CHANGE_EVENT
+from .apply import run_epoch
+from .exactly_once import EpochLog
+
+
+def start_cdc_stream(
+    spark: SparkSession,
+    table: SnapshotTable,
+    source_dir: str,
+    checkpoint_dir: str,
+    *,
+    max_files_per_trigger: int | None = None,
+    processing_time: str | None = None,
+    fail_after_epochs: int | None = None,
+    detect_renames: bool = True,
+    salt_buckets: int = 8,
+) -> StreamingQuery:
+    """Start the CDC tailer. ``fail_after_epochs`` injects a crash after
+    N applied epochs (chaos tests). Returns the StreamingQuery."""
+    reader = spark.readStream.schema(CHANGE_EVENT)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(source_dir)
+
+    epoch_log = EpochLog(table.root)
+    applied = {"n": 0}
+
+    def process(batch_df, batch_id: int):
+        stats = run_epoch(
+            spark, table, epoch_log, batch_df, batch_id,
+            detect_renames=detect_renames, salt_buckets=salt_buckets,
+        )
+        if stats is not None:
+            applied["n"] += 1
+        if fail_after_epochs is not None and applied["n"] >= fail_after_epochs:
+            raise RuntimeError(f"injected failure after {applied['n']} epochs")
+
+    writer = src.writeStream.foreachBatch(process).option("checkpointLocation", checkpoint_dir)
+    if processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def drain(query: StreamingQuery) -> None:
+    """Run an availableNow query to completion, re-raising its failure."""
+    query.awaitTermination()
+
+
+def replay_to_drain(
+    spark: SparkSession,
+    table: SnapshotTable,
+    source_dir: str,
+    checkpoint_dir: str,
+    **kw,
+) -> None:
+    """Convenience: start + drain (used by tests and bench)."""
+    q = start_cdc_stream(spark, table, source_dir, checkpoint_dir, **kw)
+    q.awaitTermination()
