@@ -1,0 +1,126 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+The star metric is the CDC apply pipeline: a generator-synthesized
+change stream (deterministic, seed 42) applied through the full
+validate→DLQ→evolve→LWW→MERGE path into a temp snapshot lake, in
+multiple epochs. `cdc_apply_events_per_sec` is reported alongside.
+
+Scaling evidence (north rule: N→4N efficiency ≥ 0.8) is produced by
+bench_scaling.py, which re-runs the same apply job at local[8] and
+local[32] in fresh JVMs — see BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_CDC_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "1000000"))
+N_CDC_EPOCHS = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "4"))
+
+
+def run_cdc_apply(spark) -> tuple[float, int]:
+    """Full-pipeline apply of a generated change stream; returns
+    (seconds, events_applied)."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_spark.plans.lake import SnapshotTable
+    from streaming_data_pipeline_spark.schemas import LAKE_BASE
+    from streaming_data_pipeline_spark.sources.changegen import generate_changes
+    from streaming_data_pipeline_spark.streaming.apply import apply_changes
+
+    per_epoch = N_CDC_EVENTS // N_CDC_EPOCHS
+    changes = generate_changes(
+        spark,
+        N_CDC_EVENTS,
+        seed=42,
+        n_repos=2000,
+        paths_per_repo=500,
+        events_per_epoch=per_epoch,
+        invalid_ratio=0.05,
+        duplicate_ratio=0.02,
+        out_of_order_ratio=0.05,
+        delete_ratio=0.05,
+        content_repeat=2,
+        evolve_payload_at_epoch=2,
+        partitions=CPUS * 2,
+    )
+    tmp = tempfile.mkdtemp(prefix="sdp_bench_lake_")
+    try:
+        table = SnapshotTable.create(f"{tmp}/lake", LAKE_BASE, n_buckets=max(CPUS, 16))
+        t0 = time.time()
+        n = 0
+        for ep in range(N_CDC_EPOCHS + 2):  # +2: late/dup spill epochs
+            batch = changes.filter(F.col("epoch") == ep)
+            stats = apply_changes(spark, table, batch, epoch=ep, salt_buckets=8)
+            n += stats.get("source_rows", 0)
+        dt = time.time() - t0
+        return dt, n
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    from streaming_data_pipeline_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("sdp-bench", shuffle_partitions=CPUS * 2)
+    qs = entrymod.queries()
+    headline = [
+        "cdc_final_state",
+        "cdc_lww_dedup",
+        "q1_pricing_summary",
+        "top_customers_by_revenue",
+        "user_top3_events",
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "text_quality",
+        "ann_cosine_topk",
+        "multimodal_decode",
+    ]
+    timings: dict[str, float] = {}
+
+    # warm the JVM/codegen on a trivial action so query timings are honest
+    spark.range(1000).count()
+
+    for name in headline:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    cdc_sec, cdc_events = run_cdc_apply(spark)
+    timings["cdc_apply_pipeline"] = round(cdc_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_queries_plus_cdc_apply_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "cdc_apply_events": cdc_events,
+        "cdc_apply_events_per_sec": round(cdc_events / cdc_sec, 1) if cdc_sec else None,
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

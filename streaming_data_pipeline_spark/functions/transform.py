@@ -79,7 +79,11 @@ def transform_user_events(df: DataFrame) -> DataFrame:
     et = F.col("event_type")
     return df.withColumns(
         {
-            "normalized_event_type": F.coalesce(F.upper(et), F.lit("UNKNOWN")),
+            # reference treats falsy event_type ('' or None) as UNKNOWN
+            # (src/transform.py:55-56: `.upper() if event_type else 'UNKNOWN'`)
+            "normalized_event_type": F.when(
+                et.isNull() | (et == ""), F.lit("UNKNOWN")
+            ).otherwise(F.upper(et)),
             "event_category": event_category_col(et),
             "is_conversion": et.isin(*CONVERSION_EVENTS),
             "processed_at": F.coalesce(

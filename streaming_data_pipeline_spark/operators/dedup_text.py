@@ -1,0 +1,224 @@
+"""Document deduplication family for training-data pipelines.
+
+The reference has no dedup at all (SURVEY.md §2.1); these operators are
+the lake-side dedup suite a 100 TB corpus needs. All are pure
+DataFrame compositions — shuffles are on content-derived keys (hash,
+shingle, band, bucket), so each scales horizontally; nothing collects
+to the driver.
+
+- exact_text_dedup:    sha256(normalized text) group — one shuffle.
+- ngram_jaccard_pairs: shingle → explode → self-join on shingle →
+                       per-pair intersection counts → Jaccard. The
+                       candidate join is the classic inverted-index
+                       join; frequent-shingle blowup is capped by
+                       dropping shingles above a document-frequency
+                       ceiling (standard prefix-filtering trick).
+- minhash_lsh_pairs:   k seeded xxhash64 "permutations" → b bands ×
+                       r rows → band-bucket join → verify Jaccard.
+                       At scale only the band join shuffles, and each
+                       bucket is tiny w.h.p.
+- simhash64:           64-bit SimHash from token hashes via bit-vote
+                       aggregation — expressed with aggregate() over
+                       bit positions, stays in codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_tokens(text_col: str = "text"):
+    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+
+def exact_text_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by content hash: canonical keeper = min
+    doc_id. Output one row per distinct content with the copy count."""
+    norm = F.sha2(F.concat_ws(" ", normalized_tokens(text_col)), 256)
+    return (
+        df.select(F.col("doc_id"), norm.alias("text_sha"))
+        .groupBy("text_sha")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, shingle) pairs — distinct n-token shingles per document."""
+    toks = normalized_tokens(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    # F.get is 0-based and null-safe out of bounds (ANSI mode is on in
+    # Spark 4 — element_at would throw); concat_ws skips nulls, so short
+    # documents yield their full-text shingle.
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)])
+    )
+    return (
+        df.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Candidate pairs via inverted-index self-join on shingles, scored
+    by exact Jaccard. ``max_shingle_df`` drops ubiquitous shingles
+    before the join (prefix filtering) — without it one stop-shingle
+    shared by every document makes the join quadratic."""
+    # persisted: feeds both the per-doc size agg and the candidate join
+    sh = shingles(df, text_col, n).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    joinable = sh
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df_"))
+            .filter(F.col("df_") <= max_shingle_df)
+            .select("shingle")
+        )
+        joinable = sh.join(rare, "shingle")
+    a = joinable.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = joinable.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", n: int = 3, k: int = 32, seed: int = 42
+) -> DataFrame:
+    """k-permutation MinHash signature per document: min over shingles of
+    xxhash64(shingle, perm_seed). One explode + one groupBy."""
+    sh = shingles(df, text_col, n)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(seed + i))).alias(f"mh_{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash + LSH banding: docs sharing any band bucket become
+    candidates; candidates are verified with exact Jaccard (no
+    false positives in the output; recall governed by (b, r))."""
+    assert k % bands == 0
+    r = k // bands
+    sig = minhash_signatures(df, text_col, n, k, seed)
+    band_cols = [
+        F.struct(F.lit(b).alias("band"), F.xxhash64(*[F.col(f"mh_{b * r + j}") for j in range(r)]).alias("bucket"))
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    cand = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(df, text_col, n, threshold=0.0, max_shingle_df=None)
+    return (
+        cand.join(exact, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash: per bit position, sum votes (+1 if token hash has
+    the bit set, else -1) over all tokens; bit = 1 when the vote is
+    positive. Vectorized as explode → per-bit conditional sums."""
+    toks = df.select(
+        "doc_id", F.explode(normalized_tokens(text_col)).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    # shiftleft keeps the bit mask in JVM long space (1 << 63 would
+    # overflow a Python-literal lit)
+    votes = [
+        F.sum(
+            F.when(
+                F.col("h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0, 1
+            ).otherwise(-1)
+        ).alias(f"v_{b}")
+        for b in range(64)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    sim = None
+    for b in range(64):
+        bit = F.when(
+            F.col(f"v_{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else sim.bitwiseOR(bit)
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 4 × 16-bit chunks (a pair
+    within Hamming distance ≤3 must agree on ≥1 chunk — pigeonhole),
+    then verify exact Hamming distance with bit_count(xor)."""
+    sig = simhash64(df, text_col)
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_id"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", F.col("c.chunk_id").alias("chunk_id"), F.col("c.chunk").alias("chunk"))
+    cand = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), ["chunk_id", "chunk"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("sim_a"),
+            F.col("y.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.withColumn("hamming", ham).filter(ham <= max_hamming).select(
+        "doc_a", "doc_b", "hamming"
+    )

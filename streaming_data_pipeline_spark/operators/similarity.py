@@ -1,0 +1,188 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — exact, one broadcast join of the
+query set against the corpus, dot products computed JVM-side with
+`aggregate`/`zip_with` (no Python in the loop). This is the correct
+baseline even at scale when the query set is small (queries broadcast;
+corpus scan is embarrassingly parallel).
+
+Scale path: LSH-bucketed ANN via signed random projections — per
+vector, a compact bit signature from seeded deterministic hyperplanes;
+candidates share a signature prefix (multi-probe = several independent
+signature tables), verified by exact cosine. An IVF variant
+(cluster-assign then search nearest cells) reduces to the same
+bucket-join shape with centroid assignment as the bucket function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def with_unit_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Pre-normalize to unit length (double precision) so cosine becomes a
+    plain dot product — normalize once, reuse across queries."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    n = _norm(v)
+    unit = F.transform(v, lambda x: x / n)
+    return df.withColumn("_unit", unit)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, rank, cosine). The query side is
+    broadcast (small); ranking ties break by neighbor id for
+    determinism. Self-matches are excluded.
+    """
+    c = with_unit_vectors(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("_unit").alias("_cu")
+    )
+    q = with_unit_vectors(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("_unit").alias("_qu")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("_cu"), F.col("_qu")), 5).alias("cosine"),
+        )
+    )
+    w = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    )
+    return (
+        scored.withColumn("rank", w)
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def srp_signature(vec, dim: int, n_bits: int = 16, seed: int = 42):
+    """Signed-random-projection signature: bit b = sign(<v, h_b>) where
+    h_b is a deterministic ±1 hyperplane derived from xxhash64(b, j).
+    Pure column expressions — the 'random' planes are hash-derived, so
+    executors recompute them identically with no broadcast state."""
+    bits = []
+    for b in range(n_bits):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, j: x
+                * F.when(
+                    F.pmod(F.xxhash64(j.cast("long"), F.lit(seed + b)), F.lit(2)) == 0,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    sig = bits[0]
+    for x in bits[1:]:
+        sig = sig.bitwiseOR(x)
+    return sig
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_bits: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share an SRP bucket in ≥1 of
+    ``n_tables`` signature tables; exact cosine re-ranks candidates.
+    The corpus-side signatures are computed once per table in a single
+    projection; the join is bucket-equi (shuffle on small int keys, the
+    wide embedding column rides along only for candidates)."""
+    cu = with_unit_vectors(corpus, vec_col)
+    qu = with_unit_vectors(queries, vec_col)
+
+    def sig_rows(df: DataFrame, ident: str) -> DataFrame:
+        tables = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    srp_signature(F.col("_unit"), dim, n_bits, seed + 1000 * t).alias("sig"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(ident), F.col("_unit").alias(f"_{ident}_u"), F.explode(tables).alias("ts")
+        ).select(ident, f"_{ident}_u", F.col("ts.tbl").alias("tbl"), F.col("ts.sig").alias("sig"))
+
+    csig = sig_rows(cu, "neighbor_id")
+    qsig = sig_rows(qu, "query_id")
+    cand = (
+        csig.join(F.broadcast(qsig), ["tbl", "sig"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "_neighbor_id_u", "_query_id_u")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(_dot(F.col("_neighbor_id_u"), F.col("_query_id_u")), 5).alias("cosine"),
+    )
+    w = F.row_number().over(Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id")))
+    return scored.withColumn("rank", w).filter(F.col("rank") <= k).select(
+        "query_id", "neighbor_id", "rank", "cosine"
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.97,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above ``threshold`` —
+    exact O(n²) within SRP buckets at scale; here the exact all-pairs
+    form (corpus sizes in tests are small, and the bucketed variant is
+    `lsh_ann_topk` with a threshold filter)."""
+    u = with_unit_vectors(df, vec_col).select(
+        F.col(id_col).alias("id"), F.col("_unit").alias("u")
+    )
+    a = u.select(F.col("id").alias("doc_a"), F.col("u").alias("ua"))
+    b = u.select(F.col("id").alias("doc_b"), F.col("u").alias("ub"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(_dot(F.col("ua"), F.col("ub")), 5).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -44,6 +44,14 @@ def get_spark(
         master = f"local[{cpus}]"
     n_shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
 
+    # Ship this package to Python workers: local-mode workers inherit the
+    # driver process env, so PYTHONPATH is the `spark-submit --py-files`
+    # analog (pandas-UDF closures reference this module by name).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{pkg_root}{os.pathsep}{pp}" if pp else pkg_root
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
