@@ -68,13 +68,16 @@ def apply_changes(
 
         # DLQ is a TABLE, partition-per-epoch ⇒ overwriting the same
         # epoch partition on replay keeps the DLQ exactly-once too
-        # (vs the reference's file-per-event JSON sink, K6).
+        # (vs the reference's file-per-event JSON sink, K6). The row
+        # count rides the write job via Observation — no separate count.
+        from pyspark.sql import Observation
+
         dlq = enrich_dead_letters(invalid, stage=stage, epoch=epoch)
-        n_dlq = dlq.count()
-        if n_dlq:
-            dlq.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(dlq_path(table.root), f"epoch={epoch}")
-            )
+        obs = Observation(f"dlq-{epoch}")
+        dlq.observe(obs, F.count(F.lit(1)).alias("n")).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(dlq_path(table.root), f"epoch={epoch}"))
+        n_dlq = int(obs.get["n"] or 0)
 
         promoted, new_schema, evolution = evolve_and_promote(
             valid, table.schema(), detect_renames=detect_renames
@@ -100,17 +103,22 @@ def run_epoch(
     epoch_log: EpochLog,
     raw: DataFrame,
     epoch: int,
+    source_offsets: list[str] | None = None,
     **kw,
 ) -> dict | None:
     """Exactly-once wrapper: skip epochs whose marker exists; write the
-    marker (with lineage) only after the snapshot commit lands."""
+    marker (with lineage) only after the snapshot commit lands.
+    ``source_offsets``: authoritative offset range for the epoch (the
+    streaming runner reads it from the checkpoint WAL); falls back to
+    the microbatch plan's inputFiles()."""
     if epoch_log.has(epoch):
         return None
-    input_files = []
-    try:
-        input_files = raw.inputFiles()
-    except Exception:
-        pass
+    input_files = list(source_offsets or [])
+    if not input_files:
+        try:
+            input_files = raw.inputFiles()
+        except Exception:
+            pass
     stats = apply_changes(spark, table, raw, epoch, **kw)
     epoch_log.write(
         epoch,

@@ -46,9 +46,33 @@ def start_cdc_stream(
     epoch_log = EpochLog(table.root)
     applied = {"n": 0}
 
+    def offsets_for(batch_id: int) -> list[str]:
+        """Authoritative per-epoch offset range from the checkpoint's
+        file-source WAL (<ckpt>/sources/0/<batchId>: one JSON per file).
+        This is the lineage anchor — `inputFiles()` on the microbatch
+        plan is best-effort only."""
+        import json as _json
+        import os as _os
+
+        p = _os.path.join(checkpoint_dir, "sources", "0", str(batch_id))
+        files: list[str] = []
+        try:
+            with open(p) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line or line.startswith("v"):
+                        continue
+                    rec = _json.loads(line)
+                    if isinstance(rec, dict) and "path" in rec:
+                        files.append(rec["path"])
+        except OSError:
+            pass
+        return files
+
     def process(batch_df, batch_id: int):
         stats = run_epoch(
             spark, table, epoch_log, batch_df, batch_id,
+            source_offsets=offsets_for(batch_id),
             detect_renames=detect_renames, salt_buckets=salt_buckets,
         )
         if stats is not None:

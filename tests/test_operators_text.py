@@ -1,0 +1,146 @@
+"""Unit tests for the training-data operator families: text dedup
+(exact / n-gram Jaccard / MinHash-LSH / SimHash), similarity search,
+text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from streaming_data_pipeline_spark.operators import dedup_text, multimodal, similarity, text
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the sleepy dog"),  # near dup of 0
+    (3, "completely different content about spark engines"),
+    (4, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG"),  # case dup of 0
+    (5, "tiny"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = dedup_text.exact_text_dedup(_docs(spark)).collect()
+    by_keep = {r["keep_doc_id"]: r["n_copies"] for r in out}
+    assert by_keep[0] == 3  # docs 0, 1, 4 (case-normalized)
+    assert by_keep[3] == 1 and by_keep[5] == 1
+    assert len(out) == 4  # 0-group, 2, 3, 5
+
+
+def test_ngram_jaccard(spark):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_text.ngram_jaccard_pairs(_docs(spark), n=3, threshold=0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0 and pairs[(0, 4)] == 1.0 and pairs[(1, 4)] == 1.0
+    # 0 vs 2: 7 shingles each, 5 shared ("over the lazy/sleepy dog" differ
+    # in 2 trailing shingles) → 5/9
+    assert math.isclose(pairs[(0, 2)], round(5 / 9, 4), abs_tol=1e-4)
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_text.minhash_lsh_pairs(_docs(spark), threshold=0.5).collect()
+    }
+    assert {(0, 1), (0, 4), (1, 4)} <= pairs  # identical docs always collide
+    assert (0, 3) not in pairs
+
+
+def test_simhash(spark):
+    sims = {r["doc_id"]: r["simhash"] for r in dedup_text.simhash64(_docs(spark)).collect()}
+    assert sims[0] == sims[1] == sims[4]
+    near = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup_text.simhash_near_pairs(_docs(spark), max_hamming=16).collect()
+    }
+    assert near[(0, 1)] == 0
+    # near-dup should be closer in hamming space than the unrelated doc
+    if (0, 3) in near:
+        assert near[(0, 2)] < near[(0, 3)]
+
+
+def test_cosine_topk_vs_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(20, 8).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.cosine_topk(df, df.filter(F.col("vec_id") < 3), k=4).collect()
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in out}
+
+    v = vecs.astype("float64")
+    unit = v / np.linalg.norm(v, axis=1, keepdims=True)
+    cos = unit @ unit.T
+    for q in range(3):
+        order = sorted(
+            (i for i in range(20) if i != q),
+            key=lambda i: (-round(cos[q, i], 5), i),
+        )[:4]
+        for rank, nid in enumerate(order, 1):
+            assert got[(q, rank)] == nid, (q, rank, nid, got[(q, rank)])
+
+
+def test_lsh_ann_subset_of_exact_space(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    base = rng.randn(30, 16).astype("float32")
+    base[7] = base[3] + rng.randn(16).astype("float32") * 0.01  # planted near-dup
+    rows = [(i, [float(x) for x in base[i]]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.lsh_ann_topk(df, df.filter(F.col("vec_id") == 3), k=3, dim=16).collect()
+    assert any(r["neighbor_id"] == 7 and r["rank"] == 1 for r in out)
+
+
+def test_text_quality_and_langid(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog of the house"),
+            (1, "der hund und die katze mit der maus"),
+            (2, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    q = {r["doc_id"]: r for r in text.quality_scores(df).collect()}
+    assert q[0]["n_tokens"] == 8
+    assert q[0]["stopword_ratio"] == 0.625  # the×3, and, of (5/8)
+    langs = {r["doc_id"]: r["lang_pred"] for r in text.lang_id(df).collect()}
+    assert langs[0] == "en" and langs[1] == "de" and langs[2] == "und"
+
+
+def test_multimodal_decode_plumbing(spark):
+    docs = multimodal.attach_binary_payload(
+        spark.createDataFrame([(i, f"payload {i} " * (i + 1)) for i in range(6)], "doc_id long, text string")
+    )
+    # corrupt one media_type to exercise row-level failure capture
+    docs = docs.withColumn(
+        "media_type", F.when(F.col("doc_id") == 2, "hologram").otherwise(F.col("media_type"))
+    )
+    out = {r["doc_id"]: r for r in multimodal.extract_media_metadata(docs).collect()}
+    assert len(out) == 6
+    assert out[2]["decode_ok"] is False and "NotImplementedError" in out[2]["decode_error"]
+    ok = [r for r in out.values() if r["decode_ok"]]
+    assert len(ok) == 5 and all(r["sha"] and r["byte_len"] > 0 for r in ok)
+    imgs = [r for r in ok if r["media_type"] == "image"]
+    assert all(r["width"] is not None and r["height"] is not None for r in imgs)
+    # JVM-side stats agree with the pandas kernel
+    stats = {r["doc_id"]: r for r in multimodal.binary_stats(docs).collect()}
+    for i, r in out.items():
+        assert stats[i]["sha"] == r["sha"] and stats[i]["byte_len"] == r["byte_len"]
+
+
+def test_frame_sampling(spark):
+    docs = multimodal.attach_binary_payload(
+        spark.createDataFrame([(i, "x" * 50) for i in range(9)], "doc_id long, text string")
+    )
+    frames = multimodal.frame_sample_plan(docs, every_ms=500)
+    rows = frames.groupBy("doc_id").count().collect()
+    assert rows and all(r["count"] >= 2 for r in rows)  # duration ≥ 1000ms

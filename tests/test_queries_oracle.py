@@ -1,0 +1,84 @@
+"""Mini correctness gate: a fast subset of __spark_entry__ queries vs
+their DuckDB oracles at sf0.001 (the driver runs the full set at
+sf0.01 — this keeps regressions visible in `pytest` without the cost)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+FAST_QUERIES = [
+    "cdc_validate_split_valid",
+    "cdc_lww_dedup",
+    "cdc_epoch_metrics",
+    "transform_enrich",
+    "running_counters",
+    "q1_pricing_summary",
+    "user_top3_events",
+    "dedup_exact",
+    "text_quality",
+    "token_stats",
+    "multimodal_binary_stats",
+    "ann_cosine_topk",
+]
+
+
+@pytest.fixture(scope="module")
+def ducksql():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)]
+    rows = []
+    for tup in df.itertuples(index=False):
+        parts = []
+        for v in tup:
+            if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT:
+                parts.append("∅")
+            elif isinstance(v, (np.floating, float)):
+                parts.append(f"{float(v):.6g}")
+            elif isinstance(v, (np.bool_, bool)):
+                parts.append(str(bool(v)))
+            elif isinstance(v, (np.integer, int)):
+                parts.append(str(int(v)))
+            else:
+                parts.append(str(v))
+        rows.append("|".join(parts))
+    rows.sort()
+    return hashlib.sha256("\n".join(rows).encode()).hexdigest()
+
+
+@pytest.mark.parametrize("name", FAST_QUERIES)
+def test_query_matches_oracle(spark, ducksql, name):
+    sdf = entrymod.queries()[name](spark, SF).toPandas()
+    odf = ducksql.sql(entrymod.oracle_sql()[name]).df()
+    assert len(sdf) == len(odf), f"rowcount {len(sdf)} != {len(odf)}"
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert _canon(sdf) == _canon(odf)
+
+
+def test_every_query_has_callable_and_contract():
+    qs = entrymod.queries()
+    osql = entrymod.oracle_sql()
+    assert set(osql) <= set(qs)
+    # Spark-only ops are the documented hash-based / pandas-UDF ones
+    assert set(qs) - set(osql) == {
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "multimodal_decode",
+        "ann_lsh",
+    }

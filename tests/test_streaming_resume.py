@@ -1,0 +1,88 @@
+"""Chaos / exactly-once tests (SURVEY.md §5.3, FIXTURES.md §5.2):
+kill the streaming query mid-run, resume from checkpoint, and assert
+the final state equals a clean batch apply and a clean replay."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from streaming_data_pipeline_spark.plans.lake import SnapshotTable
+from streaming_data_pipeline_spark.schemas import LAKE_BASE
+from streaming_data_pipeline_spark.sources.changegen import generate_changes
+from streaming_data_pipeline_spark.streaming.apply import apply_changes
+from streaming_data_pipeline_spark.streaming.exactly_once import EpochLog
+from streaming_data_pipeline_spark.streaming.stream import start_cdc_stream
+
+N = 3000
+
+
+@pytest.fixture(scope="module")
+def wal_dir(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("wal")
+    changes = generate_changes(
+        spark, N, seed=21, events_per_epoch=600, evolve_payload_at_epoch=2, partitions=2
+    )
+    for ep in sorted(r[0] for r in changes.select("epoch").distinct().collect()):
+        changes.filter(F.col("epoch") == ep).drop("epoch").coalesce(1).write.mode(
+            "append"
+        ).parquet(str(base))
+    return str(base)
+
+
+def test_crash_resume_equals_clean_replay(spark, tmp_path, wal_dir):
+    # crashed-and-resumed run
+    t1 = SnapshotTable.create(str(tmp_path / "l1"), LAKE_BASE, n_buckets=8)
+    q = start_cdc_stream(
+        spark, t1, wal_dir, str(tmp_path / "cp1"), max_files_per_trigger=1, fail_after_epochs=2
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination()
+    epochs_at_crash = EpochLog(t1.root).epochs()
+    assert len(epochs_at_crash) == 2
+    q2 = start_cdc_stream(spark, t1, wal_dir, str(tmp_path / "cp1"))
+    q2.awaitTermination()
+
+    # clean single-shot run
+    t2 = SnapshotTable.create(str(tmp_path / "l2"), LAKE_BASE, n_buckets=8)
+    q3 = start_cdc_stream(spark, t2, wal_dir, str(tmp_path / "cp2"), max_files_per_trigger=3)
+    q3.awaitTermination()
+
+    assert t1.state_hash(spark) == t2.state_hash(spark)
+
+    # markers are contiguous and lineage maps offsets → files
+    lineage = EpochLog(t1.root).lineage()
+    assert [r["epoch"] for r in lineage] == list(range(len(lineage)))
+    assert all(r["source_offsets"]["input_files"] for r in lineage)
+
+
+def test_marker_skip_prevents_double_apply(spark, tmp_path, wal_dir):
+    """Crash window B: marker exists → epoch is skipped on replay (the
+    run_epoch guard), even if the batch is re-delivered."""
+    from streaming_data_pipeline_spark.streaming.apply import run_epoch
+
+    t = SnapshotTable.create(str(tmp_path / "l3"), LAKE_BASE, n_buckets=8)
+    log = EpochLog(t.root)
+    batch = spark.read.parquet(wal_dir)
+    stats = run_epoch(spark, t, log, batch, 0)
+    assert stats is not None
+    v = t.current_version()
+    assert run_epoch(spark, t, log, batch, 0) is None  # marker short-circuit
+    assert t.current_version() == v
+
+
+def test_batch_vs_streaming_equivalence(spark, tmp_path, wal_dir):
+    """demo_mvp-style batch API (apply_changes on the whole WAL at once)
+    converges to the same live state as the epoch-ordered streaming run."""
+    t_batch = SnapshotTable.create(str(tmp_path / "l4"), LAKE_BASE, n_buckets=8)
+    apply_changes(spark, t_batch, spark.read.parquet(wal_dir), epoch=0)
+
+    t_stream = SnapshotTable.create(str(tmp_path / "l5"), LAKE_BASE, n_buckets=8)
+    q = start_cdc_stream(spark, t_stream, wal_dir, str(tmp_path / "cp5"), max_files_per_trigger=2)
+    q.awaitTermination()
+
+    a = t_batch.current_state(spark).select("repo", "path", "lsn", F.sha2("content", 256))
+    b = t_stream.current_state(spark).select("repo", "path", "lsn", F.sha2("content", 256))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
