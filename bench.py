@@ -33,40 +33,48 @@ N_CDC_EPOCHS = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "4"))
 
 
 def run_cdc_apply(spark) -> tuple[float, int]:
-    """Full-pipeline apply of a generated change stream; returns
-    (seconds, events_applied)."""
-    from pyspark.sql import functions as F
+    """Full-pipeline apply of a change stream (validate → DLQ → evolve →
+    MOR delta append → final compaction). The stream is materialized as
+    a parquet WAL first — generation is excluded from timing, as in real
+    CDC where the log already exists. Returns (seconds, events)."""
+    import os as _os
 
     from streaming_data_pipeline_spark.plans.lake import SnapshotTable
-    from streaming_data_pipeline_spark.schemas import LAKE_BASE
+    from streaming_data_pipeline_spark.plans.maintenance import compact
+    from streaming_data_pipeline_spark.schemas import CHANGE_EVENT, LAKE_BASE
     from streaming_data_pipeline_spark.sources.changegen import generate_changes
     from streaming_data_pipeline_spark.streaming.apply import apply_changes
 
     per_epoch = N_CDC_EVENTS // N_CDC_EPOCHS
-    changes = generate_changes(
-        spark,
-        N_CDC_EVENTS,
-        seed=42,
-        n_repos=2000,
-        paths_per_repo=500,
-        events_per_epoch=per_epoch,
-        invalid_ratio=0.05,
-        duplicate_ratio=0.02,
-        out_of_order_ratio=0.05,
-        delete_ratio=0.05,
-        content_repeat=2,
-        evolve_payload_at_epoch=2,
-        partitions=CPUS * 2,
-    )
     tmp = tempfile.mkdtemp(prefix="sdp_bench_lake_")
     try:
+        wal = f"{tmp}/wal"
+        generate_changes(
+            spark,
+            N_CDC_EVENTS,
+            seed=42,
+            n_repos=2000,
+            paths_per_repo=500,
+            events_per_epoch=per_epoch,
+            invalid_ratio=0.05,
+            duplicate_ratio=0.02,
+            out_of_order_ratio=0.05,
+            delete_ratio=0.05,
+            content_repeat=2,
+            evolve_payload_at_epoch=2,
+            partitions=CPUS * 2,
+        ).write.partitionBy("epoch").mode("overwrite").parquet(wal)
+
+        def batch(ep: int):
+            return spark.read.schema(CHANGE_EVENT).parquet(_os.path.join(wal, f"epoch={ep}"))
+
         table = SnapshotTable.create(f"{tmp}/lake", LAKE_BASE, n_buckets=max(CPUS, 16))
         t0 = time.time()
         n = 0
         for ep in range(N_CDC_EPOCHS + 2):  # +2: late/dup spill epochs
-            batch = changes.filter(F.col("epoch") == ep)
-            stats = apply_changes(spark, table, batch, epoch=ep, salt_buckets=8)
+            stats = apply_changes(spark, table, batch(ep), epoch=ep, salt_buckets=8)
             n += stats.get("source_rows", 0)
+        compact(spark, table, max_files_per_bucket=1)
         dt = time.time() - t0
         return dt, n
     finally:

@@ -96,7 +96,18 @@ def enrich_dead_letters(
     """D4 — build the DLQ envelope + analysis columns from the invalid
     split of a microbatch (envelope shape: event_schema.yaml:131-165 +
     analysis: dead_letter_handler.py:90-95)."""
-    data_cols = [c for c in invalid.columns if c != error_message_col]
+    # original_event carries every field EXCEPT the (potentially large)
+    # content body, which is replaced by its sha256 + length — at code-
+    # repo scale, duplicating file bodies into the DLQ multiplies write
+    # volume for no diagnostic value (the sha ties back to the source).
+    data_cols = [
+        F.col(c) for c in invalid.columns if c not in (error_message_col, "content")
+    ]
+    if "content" in invalid.columns:
+        data_cols += [
+            F.sha2(F.col("content"), 256).alias("content_sha"),
+            F.length(F.col("content")).alias("content_len"),
+        ]
     stage_c = F.lit(stage)
     etype_c = F.lit(error_type)
     cat = error_category_col(etype_c, F.col(error_message_col), stage_c)

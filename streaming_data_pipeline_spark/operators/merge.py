@@ -57,6 +57,73 @@ def align_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
     return out.select(*[f.name for f in schema.fields])
 
 
+def append_delta(
+    spark: SparkSession,
+    table: SnapshotTable,
+    changes: DataFrame,
+    *,
+    epoch: int | None = None,
+    new_schema: T.StructType | None = None,
+    salt_buckets: int = 8,
+    dedup_in_batch: bool = False,
+) -> dict:
+    """MERGE-ON-READ apply (the default streaming path; Iceberg-v2
+    equality-delete shape): write the batch as bucketed DELTA files,
+    commit without touching base files. Per-epoch cost is O(batch) —
+    no target scan, no join, no table rewrite — which is what survives
+    10^10 events: copy-on-write would rewrite a table share
+    proportional to key spread every epoch.
+
+    In-batch duplicates/stale versions are NOT aggregated away here by
+    default: the read-side LWW resolve (plans/lake.py) and compaction
+    fold them anyway, so the hot path is a single map-side pass + one
+    shuffle (bucket clustering) + sorted write — no groupBy, no
+    aggregation state. ``dedup_in_batch=True`` restores the salted
+    max_by pre-aggregation, worthwhile only when batches carry heavy
+    duplication (it trades an extra wide shuffle for smaller deltas)."""
+    lake_schema = new_schema or table.schema()
+    if dedup_in_batch:
+        changes = lww_dedup(
+            changes, key=LAKE_KEY, order=("lsn", "commit"), salt_buckets=salt_buckets
+        )
+    src = source_to_lake_rows(changes, lake_schema).withColumn(
+        "_bucket", bucket_col(table.n_buckets)
+    )
+    obs = Observation(f"delta-{epoch}")
+    src = src.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_out"),
+        F.sum(F.col("_deleted").cast("long")).alias("tombstones"),
+    )
+    nv = table.current_version() + 1
+    staging = table.staging_dir(nv)
+    (
+        src.repartition(F.col("_bucket"))
+        .sortWithinPartitions("_bucket", *LAKE_KEY)
+        .write.mode("overwrite")
+        .partitionBy("_bucket")
+        .parquet(staging)
+    )
+    new_files = table.collect_written_files(staging, kind="delta")
+    metrics = obs.get
+    summary = {
+        "source_rows": int(metrics["rows_out"] or 0),
+        "rows_out": int(metrics["rows_out"] or 0),
+        "tombstones": int(metrics["tombstones"] or 0),
+        "touched_buckets": sorted({f["bucket"] for f in new_files}),
+        "files_written": len(new_files),
+    }
+    ver = table.commit(
+        new_files=new_files,
+        replaced_buckets=set(),
+        schema=lake_schema,
+        epoch=epoch,
+        operation="append_delta",
+        summary=summary,
+    )
+    return {"version": ver, "files": new_files, **summary}
+
+
 def merge_into(
     spark: SparkSession,
     table: SnapshotTable,
@@ -91,7 +158,12 @@ def merge_into(
             )
             return {"version": ver, "source_rows": 0, "touched_buckets": [], "files": []}
 
-        target = align_to_schema(table.read(spark, buckets=touched), lake_schema)
+        # resolved: the touched buckets may hold MOR delta files; the
+        # join needs exactly one current row per key. Replacing the
+        # buckets afterwards retires those deltas in the same commit.
+        target = align_to_schema(
+            table.read(spark, buckets=touched, resolved=True), lake_schema
+        )
 
         cols = [f.name for f in lake_schema.fields]
         s = src.select(*[F.col(c).alias(f"_s_{c}") for c in cols + ["_bucket"]])

@@ -149,20 +149,39 @@ class SnapshotTable:
         spark: SparkSession,
         version: int | None = None,
         buckets: set[int] | None = None,
+        resolved: bool = False,
     ) -> DataFrame:
         """Snapshot (time-travel) read; ``buckets`` prunes data files via
-        the manifest — the scan never lists or opens untouched buckets."""
+        the manifest — the scan never lists or opens untouched buckets.
+
+        With merge-on-read (delta files appended per epoch), the raw scan
+        can hold several versions of a key; ``resolved=True`` applies the
+        (lsn, commit) last-writer-wins fold, keeping tombstones."""
         schema = self.schema(version)
         files = self.files(version, buckets)
         if not files:
             return spark.createDataFrame([], schema)
         # explicit schema ⇒ files written before a schema evolution read
         # their missing (newer) columns as null — by-name reconciliation.
-        return spark.read.schema(schema).parquet(*files)
+        df = spark.read.schema(schema).parquet(*files)
+        if resolved:
+            df = self.resolve(df)
+        return df
+
+    @staticmethod
+    def resolve(df: DataFrame) -> DataFrame:
+        """LWW fold across base + delta rows (Iceberg-v2-equality-delete
+        semantics): one row per key — the greatest (lsn, commit) — with
+        tombstones retained so callers can distinguish 'deleted' from
+        'absent'."""
+        from ..operators.dedup import lww_dedup
+        from ..schemas import LAKE_KEY
+
+        return lww_dedup(df, key=LAKE_KEY, order=("lsn", "commit"))
 
     def current_state(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        """Live view: tombstones filtered out."""
-        return self.read(spark, version).filter(~F.col("_deleted"))
+        """Live view: LWW-resolved, tombstones filtered out."""
+        return self.read(spark, version, resolved=True).filter(~F.col("_deleted"))
 
     # ---------------- commits ----------------
 
@@ -211,33 +230,39 @@ class SnapshotTable:
 
     # ---------------- utilities ----------------
 
-    def collect_written_files(self, staging: str) -> list[dict]:
+    def collect_written_files(self, staging: str, kind: str = "base") -> list[dict]:
         """Inventory bucket=*/part-*.parquet under a staging dir, with row
         counts from the Parquet footers (at cluster scale these stats come
         from task commit messages; a local footer read is the sandbox
         equivalent)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         import pyarrow.parquet as pq
 
-        out: list[dict] = []
         if not os.path.isdir(staging):
-            return out
+            return []
+        targets: list[tuple[str, int]] = []
         for bdir in sorted(os.listdir(staging)):
             if not bdir.startswith("_bucket="):
                 continue
             b = int(bdir.split("=", 1)[1])
             for fn in sorted(os.listdir(os.path.join(staging, bdir))):
-                if not fn.endswith(".parquet"):
-                    continue
-                full = os.path.join(staging, bdir, fn)
-                rows = pq.ParquetFile(full).metadata.num_rows
-                out.append(
-                    {
-                        "path": os.path.relpath(full, self.root),
-                        "bucket": b,
-                        "rows": rows,
-                    }
-                )
-        return out
+                if fn.endswith(".parquet"):
+                    targets.append((os.path.join(staging, bdir, fn), b))
+
+        def entry(t: tuple[str, int]) -> dict:
+            full, b = t
+            return {
+                "path": os.path.relpath(full, self.root),
+                "bucket": b,
+                "rows": pq.ParquetFile(full).metadata.num_rows,
+                "kind": kind,
+            }
+
+        # footer reads are tiny but latency-bound; serial scans became a
+        # measurable per-commit driver stall at hundreds of buckets
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            return list(pool.map(entry, targets))
 
     def state_hash(self, spark: SparkSession, version: int | None = None) -> str:
         """Deterministic content hash of the CURRENT (non-deleted) state:

@@ -1,0 +1,143 @@
+"""Lake maintenance: compaction, snapshot expiry (vacuum), tombstone purge.
+
+Copy-on-write MERGE leaves two kinds of debt the reference never had
+to think about (its sink was write-once files, reference:
+src/sink_writer.py:96-111): superseded data files from old snapshots,
+and tombstone rows that only exist to block stale-update resurrection.
+
+- compact(): rewrite the current snapshot's buckets whose file count
+  exceeds a threshold into one sorted file per bucket (a new snapshot;
+  time travel to pre-compaction versions still works).
+- expire_snapshots(): drop snapshots older than `keep_last` and delete
+  data files referenced by NO retained snapshot — the Iceberg
+  `expireSnapshots` analog.
+- purge_tombstones(): rewrite buckets dropping tombstones older than a
+  safe LSN horizon (any event with lsn below the horizon has already
+  been applied or deduped, so resurrection is impossible). Analogous to
+  Cassandra/Iceberg tombstone GC grace.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import Counter
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .lake import SnapshotTable
+
+
+def _rewrite_buckets(
+    spark: SparkSession,
+    table: SnapshotTable,
+    buckets: set[int],
+    df_filter=None,
+    operation: str = "compact",
+) -> int:
+    """Fold the given buckets into fresh BASE files: LWW-resolved (so
+    merge-on-read deltas collapse), tombstones retained unless the
+    caller filters them, sorted by key."""
+    if not buckets:
+        return table.current_version()
+    df = table.read(spark, buckets=buckets, resolved=True)
+    if df_filter is not None:
+        df = df.filter(df_filter)
+    nv = table.current_version() + 1
+    staging = table.staging_dir(nv)
+    bucket = F.pmod(F.xxhash64(F.col("repo"), F.col("path")), F.lit(table.n_buckets))
+    (
+        df.withColumn("_bucket", bucket)
+        .repartition(F.col("_bucket"))
+        .sortWithinPartitions("_bucket", "repo", "path")
+        .write.mode("overwrite")
+        .partitionBy("_bucket")
+        .parquet(staging)
+    )
+    new_files = table.collect_written_files(staging, kind="base")
+    return table.commit(
+        new_files=new_files,
+        replaced_buckets=buckets,
+        operation=operation,
+        summary={"buckets": sorted(buckets)},
+    )
+
+
+def compact(spark: SparkSession, table: SnapshotTable, max_files_per_bucket: int = 1) -> int:
+    """Rewrite buckets fragmented beyond ``max_files_per_bucket`` into
+    sorted single files. Returns the new (or current) version."""
+    counts = Counter(e["bucket"] for e in table.manifest())
+    frag = {b for b, n in counts.items() if n > max_files_per_bucket}
+    return _rewrite_buckets(spark, table, frag, operation="compact")
+
+
+def purge_tombstones(spark: SparkSession, table: SnapshotTable, lsn_horizon: int) -> int:
+    """Drop tombstones with lsn < horizon. Safe when the source
+    guarantees no event below the horizon can still arrive (checkpoint
+    position defines it)."""
+    # only rewrite buckets that actually hold old tombstones
+    hit = table.read(spark).filter(
+        F.col("_deleted") & (F.col("lsn") < lsn_horizon)
+    )
+    buckets = {
+        r[0]
+        for r in hit.select(
+            F.pmod(F.xxhash64("repo", "path"), F.lit(table.n_buckets))
+        ).distinct().collect()
+    }
+    keep = ~(F.col("_deleted") & (F.col("lsn") < lsn_horizon))
+    return _rewrite_buckets(spark, table, buckets, df_filter=keep, operation="purge_tombstones")
+
+
+def expire_snapshots(table: SnapshotTable, keep_last: int = 2) -> list[str]:
+    """Delete data files referenced only by expired snapshots; prune the
+    snapshot log. Returns the deleted file paths. Metadata files are
+    kept (cheap, and they document history)."""
+    meta = table.metadata()
+    versions = sorted(int(v) for v in meta["snapshots"])
+    retained = set(versions[-keep_last:])
+    retained.add(meta["current_snapshot_id"])
+
+    def files_of(version: int) -> set[str]:
+        import json
+
+        snap = meta["snapshots"][str(version)]
+        with open(os.path.join(table.meta_dir, snap["manifest"])) as f:
+            return {e["path"] for e in json.load(f)["files"]}
+
+    keep_files: set[str] = set()
+    for v in retained:
+        keep_files |= files_of(v)
+    drop_files: set[str] = set()
+    for v in versions:
+        if v not in retained:
+            drop_files |= files_of(v)
+    drop_files -= keep_files
+
+    deleted = []
+    for rel in sorted(drop_files):
+        full = os.path.join(table.root, rel)
+        if os.path.exists(full):
+            os.unlink(full)
+            deleted.append(rel)
+
+    for v in versions:
+        if v not in retained:
+            meta["snapshots"].pop(str(v), None)
+    from .lake import _atomic_write_json
+
+    nv = meta["version"] + 1
+    meta["version"] = nv
+    # current snapshot unchanged; this metadata bump records the expiry
+    man = meta["snapshots"][str(meta["current_snapshot_id"])]["manifest"]
+    meta["snapshots"][str(nv)] = meta["snapshots"][str(meta["current_snapshot_id"])]
+    meta["snapshots"][str(nv)] = {
+        "manifest": man,
+        "epoch": None,
+        "operation": "expire_snapshots",
+        "summary": {"deleted_files": len(deleted), "retained": sorted(retained)},
+    }
+    meta["current_snapshot_id"] = nv
+    _atomic_write_json(meta, os.path.join(table.meta_dir, f"v{nv}.json"))
+    _atomic_write_json({"v": nv}, os.path.join(table.meta_dir, "version-hint.json"))
+    return deleted

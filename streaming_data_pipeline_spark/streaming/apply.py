@@ -24,7 +24,7 @@ from pyspark.storagelevel import StorageLevel
 from ..functions.dlq import enrich_dead_letters
 from ..functions.transform import transform_changes
 from ..functions.validate import apply_defaults, validate_and_split
-from ..operators.merge import merge_into
+from ..operators.merge import append_delta, merge_into
 from ..plans.lake import SnapshotTable
 from .evolve import evolve_and_promote
 from .exactly_once import EpochLog
@@ -50,19 +50,45 @@ def apply_changes(
     raw: DataFrame,
     epoch: int,
     *,
+    mode: str = "mor",
     detect_renames: bool = True,
     salt_buckets: int = 8,
     stage: str = "consumer_validation",
+    cache_batch: bool | None = None,
 ) -> dict:
-    """Apply one microbatch of change events. Idempotent per epoch when
-    driven through `run_epoch` (marker check); the MERGE itself is also
-    state-idempotent (strict-greater LSN), covering the crash window
-    between snapshot commit and marker write."""
+    """Apply one microbatch of change events.
+
+    ``mode='mor'`` (default): merge-on-read — the batch lands as bucketed
+    delta files, O(batch) per epoch; reads LWW-resolve. ``mode='cow'``:
+    copy-on-write MERGE join rewriting touched buckets.
+
+    Idempotent per epoch when driven through `run_epoch` (marker check);
+    both appliers are also state-idempotent across the crash window
+    between snapshot commit and marker write — COW by the strict-greater
+    LSN rule, MOR because a replayed delta's (key, lsn) duplicates
+    resolve to the identical winner."""
+    import time as _time
+
+    timing_on = os.environ.get("SDP_PHASE_TIMING") == "1"
+    phases: dict[str, float] = {}
+
+    def _mark(name: str, t0: float) -> None:
+        phases[name] = round(_time.time() - t0, 2)
+
     df = raw.drop("epoch") if "epoch" in raw.columns else raw
     df = apply_defaults(transform_changes(df))
-    # one source scan: the flagged frame feeds both the valid and the
-    # invalid split (SURVEY.md R1 — "split, not two scans").
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    # The flagged frame feeds three jobs (DLQ write, payload-key agg,
+    # dedup+apply). Caching trades one columnar materialization of the
+    # wide batch against re-scanning the (columnar, pushdown-friendly)
+    # source — a wash for parquet/Kafka sources, a win for expensive
+    # sources. Default: cache only when the input is NOT a file scan.
+    if cache_batch is None:
+        try:
+            cache_batch = not raw.isStreaming and not raw.inputFiles()
+        except Exception:
+            cache_batch = True
+    if cache_batch:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         valid, invalid = validate_and_split(df)
 
@@ -72,29 +98,59 @@ def apply_changes(
         # count rides the write job via Observation — no separate count.
         from pyspark.sql import Observation
 
-        dlq = enrich_dead_letters(invalid, stage=stage, epoch=epoch)
-        obs = Observation(f"dlq-{epoch}")
-        dlq.observe(obs, F.count(F.lit(1)).alias("n")).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(dlq_path(table.root), f"epoch={epoch}"))
-        n_dlq = int(obs.get["n"] or 0)
+        # The DLQ sink and the (payload-agg → delta/merge) chain are
+        # independent outputs over the same source: run them from two
+        # driver threads so epoch wall time is max(branch), not
+        # sum(branch) — the scheduler interleaves their stages across
+        # cores and the overlap soaks each job's fixed scheduling floor.
+        from concurrent.futures import ThreadPoolExecutor
 
-        promoted, new_schema, evolution = evolve_and_promote(
-            valid, table.schema(), detect_renames=detect_renames
-        )
-        stats = merge_into(
-            spark,
-            table,
-            promoted,
-            epoch=epoch,
-            new_schema=new_schema,
-            salt_buckets=salt_buckets,
-        )
+        def dlq_branch() -> int:
+            # repartition(k), NOT coalesce: coalesce's narrow dependency
+            # would collapse the whole upstream scan+validate into k
+            # tasks (measured: serialized every epoch); the shuffle
+            # boundary keeps the wide scan parallel and moves only the
+            # small invalid split to the writers.
+            dlq = enrich_dead_letters(invalid, stage=stage, epoch=epoch)
+            obs = Observation(f"dlq-{epoch}")
+            dlq.observe(obs, F.count(F.lit(1)).alias("n")).repartition(4).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(dlq_path(table.root), f"epoch={epoch}"))
+            return int(obs.get["n"] or 0)
+
+        t0 = _time.time()
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            dlq_future = pool.submit(dlq_branch)
+
+            t1 = _time.time()
+            promoted, new_schema, evolution = evolve_and_promote(
+                valid, table.schema(), detect_renames=detect_renames
+            )
+            _mark("schema_evolve", t1)
+
+            t1 = _time.time()
+            applier = append_delta if mode == "mor" else merge_into
+            stats = applier(
+                spark,
+                table,
+                promoted,
+                epoch=epoch,
+                new_schema=new_schema,
+                salt_buckets=salt_buckets,
+            )
+            _mark("apply_" + mode, t1)
+            n_dlq = dlq_future.result()
+        _mark("epoch_jobs_wall", t0)
         stats["dlq_rows"] = int(n_dlq)
         stats["schema_evolution"] = evolution
+        if timing_on:
+            import json as _json
+
+            print(f"PHASES epoch={epoch} " + _json.dumps(phases), flush=True)
         return stats
     finally:
-        df.unpersist()
+        if cache_batch:
+            df.unpersist()
 
 
 def run_epoch(

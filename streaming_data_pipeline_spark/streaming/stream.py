@@ -35,6 +35,9 @@ def start_cdc_stream(
     fail_after_epochs: int | None = None,
     detect_renames: bool = True,
     salt_buckets: int = 8,
+    mode: str = "mor",
+    compact_every: int | None = 8,
+    compact_max_files_per_bucket: int = 4,
 ) -> StreamingQuery:
     """Start the CDC tailer. ``fail_after_epochs`` injects a crash after
     N applied epochs (chaos tests). Returns the StreamingQuery."""
@@ -72,11 +75,19 @@ def start_cdc_stream(
     def process(batch_df, batch_id: int):
         stats = run_epoch(
             spark, table, epoch_log, batch_df, batch_id,
-            source_offsets=offsets_for(batch_id),
+            source_offsets=offsets_for(batch_id), mode=mode,
             detect_renames=detect_renames, salt_buckets=salt_buckets,
         )
         if stats is not None:
             applied["n"] += 1
+            # merge-on-read debt control: fold delta files back into one
+            # sorted base file per bucket every `compact_every` applied
+            # epochs (deterministic given the snapshot ⇒ replay-safe; a
+            # crash before/after compaction does not change the live view)
+            if mode == "mor" and compact_every and applied["n"] % compact_every == 0:
+                from ..plans.maintenance import compact
+
+                compact(spark, table, max_files_per_bucket=compact_max_files_per_bucket)
         if fail_after_epochs is not None and applied["n"] >= fail_after_epochs:
             raise RuntimeError(f"injected failure after {applied['n']} epochs")
 
