@@ -1,0 +1,109 @@
+"""spark-submit entry point.
+
+    spark-submit --py-files sdp.zip -m streaming_data_pipeline_spark \
+        run --wal /data/change_wal --table /data/repo_lake \
+            --checkpoint /data/ckpt [--kafka host:9092 --topic t] \
+            [--mode mor|cow] [--n-buckets 1024] [--soak 10s]
+
+Subcommands:
+    run        start the CDC tailer (availableNow unless --soak)
+    compact    fold merge-on-read deltas into base files
+    metrics    print per-epoch metrics + overall health
+    lineage    print epoch → offsets → files lineage records
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="streaming_data_pipeline_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    run_p = sub.add_parser("run")
+    run_p.add_argument("--wal", help="change-event parquet dir (file WAL)")
+    run_p.add_argument("--kafka", help="bootstrap servers (swaps the file WAL)")
+    run_p.add_argument("--topic", default="change-events")
+    run_p.add_argument("--table", required=True)
+    run_p.add_argument("--checkpoint", required=True)
+    run_p.add_argument("--mode", default="mor", choices=["mor", "cow"])
+    run_p.add_argument("--n-buckets", type=int, default=256)
+    run_p.add_argument("--soak", help="processingTime trigger, e.g. '10 seconds'")
+    run_p.add_argument("--compact-every", type=int, default=8)
+
+    for name in ("compact", "metrics", "lineage"):
+        sp = sub.add_parser(name)
+        sp.add_argument("--table", required=True)
+
+    args = p.parse_args(argv)
+
+    from .plans.lake import SnapshotTable
+    from .session import get_spark
+
+    spark = get_spark("sdp-cli")
+
+    if args.cmd == "run":
+        from .schemas import LAKE_BASE
+        from .streaming.stream import start_cdc_stream
+
+        table = (
+            SnapshotTable.load(args.table)
+            if SnapshotTable(args.table).exists()
+            else SnapshotTable.create(args.table, LAKE_BASE, n_buckets=args.n_buckets)
+        )
+        if args.kafka:
+            from .sources.kafka import kafka_change_stream
+            from .streaming.apply import run_epoch
+            from .streaming.exactly_once import EpochLog
+
+            src = kafka_change_stream(spark, args.kafka, args.topic)
+            log = EpochLog(table.root)
+            writer = (
+                src.writeStream.foreachBatch(
+                    lambda df, bid: run_epoch(spark, table, log, df, bid, mode=args.mode)
+                ).option("checkpointLocation", args.checkpoint)
+            )
+            q = (
+                writer.trigger(processingTime=args.soak)
+                if args.soak
+                else writer.trigger(availableNow=True)
+            ).start()
+        else:
+            if not args.wal:
+                p.error("run requires --wal or --kafka")
+            q = start_cdc_stream(
+                spark,
+                table,
+                args.wal,
+                args.checkpoint,
+                mode=args.mode,
+                processing_time=args.soak,
+                compact_every=args.compact_every,
+            )
+        q.awaitTermination()
+        return 0
+
+    table = SnapshotTable.load(args.table)
+    if args.cmd == "compact":
+        from .plans.maintenance import compact
+
+        v = compact(spark, table, max_files_per_bucket=1)
+        print(json.dumps({"version": v}))
+    elif args.cmd == "metrics":
+        from .streaming.metrics import epoch_metrics, overall_health
+
+        epoch_metrics(spark, table.root).show(100, truncate=False)
+        print("overall:", overall_health(spark, table.root))
+    elif args.cmd == "lineage":
+        from .streaming.exactly_once import EpochLog
+
+        for rec in EpochLog(table.root).lineage():
+            print(json.dumps(rec))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -24,7 +24,11 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# Floor of 128: a cores-proportional count funnels whole-table
+# aggregations (e.g. compaction's LWW resolve) into a few multi-GB
+# reducers at low parallelism — measured minutes-long single-task
+# sorts. 128 keeps reducers data-sized; AQE coalesces the small case.
+DEFAULT_SHUFFLE_PARTITIONS = max(128, 2 * int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
 
 
 def get_spark(

@@ -1,0 +1,70 @@
+"""Kafka source/sink adapters — the on-cluster swap for the file WAL.
+
+The reference consumes/produces JSON over Kafka (reference:
+src/consumer.py:50-88 — S4, src/producer.py:127-163 — S3). In the
+sandbox there is no broker and no kafka-sql jar, so these builders are
+import-light and only touch Spark APIs when called; the streaming
+runner (streaming/stream.py) takes any source DataFrame shaped like
+CHANGE_EVENT, so swapping the file tailer for `kafka_change_stream`
+is one call at wiring time.
+
+Offsets/exactly-once: with Kafka the checkpoint WAL stores
+topic/partition/offset ranges instead of file lists; run_epoch's
+lineage picks them up from `batch_df` via the same checkpoint-sources
+mechanism (sources/0/<batchId> holds the offset json). Nothing else in
+the engine changes — epoch markers and idempotent applies are
+source-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import CHANGE_EVENT
+
+
+def kafka_change_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str = "change-events",
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """readStream from Kafka → parsed CHANGE_EVENT columns.
+
+    Malformed JSON rows surface with null required fields and are
+    routed to the DLQ by the normal validation split (the PERMISSIVE
+    analog of the reference's decode-error handling,
+    src/consumer.py:74-81)."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", "false")
+    )
+    if max_offsets_per_trigger:
+        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+    raw = reader.load()
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), CHANGE_EVENT).alias("e"),
+        F.col("topic"),
+        F.col("partition"),
+        F.col("offset"),
+    )
+    return parsed.select("e.*")
+
+
+def kafka_dlq_sink_options(bootstrap_servers: str, topic: str = "dead-letter") -> dict:
+    """writeStream options for mirroring the DLQ table to a Kafka topic
+    (reference keeps a dead-letter TOPIC, src/utils.py:44-49; our DLQ
+    is a table first — the topic mirror is optional egress):
+
+        dlq_df.select(F.to_json(F.struct("*")).alias("value"))
+              .writeStream.format("kafka").options(**opts)...
+    """
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "topic": topic,
+    }

@@ -1,0 +1,92 @@
+"""Schema evolution: payload-key promotion, old-row nulls, rename
+heuristic (SURVEY.md §7.4; FIXTURES.md §5.5)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import types as T
+
+from streaming_data_pipeline_spark.plans.lake import SnapshotTable
+from streaming_data_pipeline_spark.schemas import LAKE_BASE
+from streaming_data_pipeline_spark.streaming.apply import apply_changes
+from streaming_data_pipeline_spark.streaming.evolve import evolve_and_promote
+
+CH = (
+    "op string, repo string, path string, commit string, lang string, "
+    "content string, lsn long, ts timestamp, payload map<string,string>"
+)
+
+
+def _ev(op, repo, path, lsn, payload=None, content="x"):
+    return (
+        op, repo, path, f"c{lsn}", "python",
+        None if op == "delete" else content, lsn, None, payload,
+    )
+
+
+def test_new_column_promoted_old_rows_null(spark, tmp_path):
+    table = SnapshotTable.create(str(tmp_path / "t"), LAKE_BASE, n_buckets=4)
+    apply_changes(
+        spark,
+        table,
+        spark.createDataFrame([_ev("insert", "r", "a.py", 1, {"stars": "5"})], CH),
+        0,
+    )
+    assert "stars" in [f.name for f in table.schema().fields]
+    # next epoch introduces a NEW key; previous rows read it as null
+    apply_changes(
+        spark,
+        table,
+        spark.createDataFrame(
+            [_ev("insert", "r", "b.py", 2, {"stars": "7", "forks": "2"})], CH
+        ),
+        1,
+    )
+    rows = {r["path"]: r for r in table.current_state(spark).collect()}
+    assert rows["b.py"]["forks"] == "2"
+    assert rows["a.py"]["forks"] is None  # pre-evolution row
+    assert rows["a.py"]["stars"] == "5"
+
+
+def test_rename_heuristic(spark):
+    """Exactly one known key silent + one unknown key present ⇒ treated
+    as a rename: values flow into the EXISTING column, no new column."""
+    schema = T.StructType(
+        list(LAKE_BASE.fields) + [T.StructField("stars", T.StringType(), True)]
+    )
+    batch = spark.createDataFrame(
+        [_ev("insert", "r", "c.py", 3, {"stargazers": "9"})], CH
+    )
+    out, new_schema, report = evolve_and_promote(batch, schema, detect_renames=True)
+    assert report["renamed_columns"] == {"stargazers": "stars"}
+    assert report["added_columns"] == []
+    assert [f.name for f in new_schema.fields] == [f.name for f in schema.fields]
+    row = out.collect()[0]
+    assert row["stars"] == "9"
+    assert "stargazers" not in out.columns
+
+
+def test_rename_heuristic_off(spark):
+    schema = T.StructType(
+        list(LAKE_BASE.fields) + [T.StructField("stars", T.StringType(), True)]
+    )
+    batch = spark.createDataFrame(
+        [_ev("insert", "r", "c.py", 3, {"stargazers": "9"})], CH
+    )
+    out, new_schema, report = evolve_and_promote(batch, schema, detect_renames=False)
+    assert report["renamed_columns"] == {}
+    assert report["added_columns"] == ["stargazers"]
+    assert "stargazers" in [f.name for f in new_schema.fields]
+
+
+def test_ambiguous_rename_falls_back_to_add(spark):
+    """Two unknown keys + one silent column is ambiguous ⇒ plain adds."""
+    schema = T.StructType(
+        list(LAKE_BASE.fields) + [T.StructField("stars", T.StringType(), True)]
+    )
+    batch = spark.createDataFrame(
+        [_ev("insert", "r", "d.py", 4, {"stargazers": "9", "watchers": "3"})], CH
+    )
+    _, new_schema, report = evolve_and_promote(batch, schema, detect_renames=True)
+    assert report["renamed_columns"] == {}
+    assert sorted(report["added_columns"]) == ["stargazers", "watchers"]
