@@ -312,6 +312,53 @@ def q_embedding_near_dup(spark, sf_dir):
     return similarity.near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
+def q_ann_ivf(spark, sf_dir):  # Spark-only (hash-seeded coarse quantizer)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = similarity.ivf_ann_topk(emb, queries, k=5, n_cells=16, n_probe=6)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_windowed_change_rates(spark, sf_dir):
+    """Event-time tumbling window over the derived change stream —
+    exact distinct for oracle portability (approx_count_distinct is
+    engine-specific); window start exported as epoch seconds."""
+    changes = changes_from_events(_t(spark, sf_dir, "events"))
+    return (
+        changes.groupBy(F.window("ts", "1 hour").alias("win"), F.col("op"))
+        .agg(
+            F.count(F.lit(1)).alias("n_changes"),
+            F.countDistinct("repo").alias("n_repos"),
+        )
+        .select(
+            F.col("win.start").cast("timestamp").cast("long").alias("win_start_epoch"),
+            "op",
+            "n_changes",
+            "n_repos",
+        )
+    )
+
+
+def q_repo_sessions(spark, sf_dir):
+    """Gap-based sessionization of repo activity (lag/cumsum idiom)."""
+    from streaming_data_pipeline_spark.streaming.windows import (
+        repo_activity_sessions_batch,
+    )
+
+    changes = changes_from_events(_t(spark, sf_dir, "events")).filter(
+        F.col("repo").isNotNull()
+    )
+    out = repo_activity_sessions_batch(changes, gap_seconds=3600)
+    return out.select(
+        "repo",
+        F.col("session_id").cast("long").alias("session_id"),
+        F.col("session_start").cast("timestamp").cast("long").alias("session_start_epoch"),
+        F.col("session_end").cast("timestamp").cast("long").alias("session_end_epoch"),
+        "n_changes",
+        "max_lsn",
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -351,7 +398,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "embedding_near_dup": q_embedding_near_dup,
+        "windowed_change_rates": q_windowed_change_rates,
+        "repo_sessions": q_repo_sessions,
     }
 
 
@@ -566,6 +616,35 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text))::BIGINT AS byte_len,
                    sha256(text) AS sha
             FROM documents
+        """,
+        "windowed_change_rates": f"""
+            {_CHANGES_CTE}
+            SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS win_start_epoch,
+                   op,
+                   count(*) AS n_changes,
+                   count(DISTINCT repo) AS n_repos
+            FROM changes GROUP BY 1, 2
+        """,
+        "repo_sessions": f"""
+            {_CHANGES_CTE},
+            c AS (SELECT repo, ts, lsn FROM changes WHERE repo IS NOT NULL),
+            m AS (
+              SELECT repo, ts, lsn,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 3600
+                          THEN 1 ELSE 0 END AS ns
+              FROM c WINDOW w AS (PARTITION BY repo ORDER BY ts, lsn)),
+            s AS (SELECT repo, ts, lsn,
+                         sum(ns) OVER (PARTITION BY repo ORDER BY ts, lsn
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+                  FROM m)
+            SELECT repo,
+                   session_id::BIGINT AS session_id,
+                   CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch,
+                   CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end_epoch,
+                   count(*) AS n_changes,
+                   max(lsn) AS max_lsn
+            FROM s GROUP BY repo, session_id
         """,
         "ann_cosine_topk": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

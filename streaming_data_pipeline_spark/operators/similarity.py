@@ -161,6 +161,85 @@ def lsh_ann_topk(
     )
 
 
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: a deterministic coarse quantizer (centroids =
+    hash-sampled corpus vectors, the 'random restarts' seeding step of
+    k-means — deterministic here for replayability) assigns every
+    vector to its nearest cell; queries probe their ``n_probe`` nearest
+    cells and re-rank candidates by exact cosine.
+
+    Plan shape at scale: centroids are tiny (n_cells rows, collected
+    once and broadcast via the crossJoin literal); cell assignment is a
+    map-only pass; the candidate join is cell-equi, so the corpus
+    shuffles once on a small int key. Lloyd refinement iterations are a
+    straightforward loop over (assign → mean) aggregations if tighter
+    cells are needed."""
+    cu = with_unit_vectors(corpus, vec_col)
+    qu = with_unit_vectors(queries, vec_col)
+
+    cents = (
+        cu.withColumn("_h", F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(997)))
+        .orderBy("_h", id_col)
+        .limit(n_cells)
+        .select(F.col(id_col).alias("cell_src"), F.col("_unit").alias("cvec"))
+        .collect()
+    )
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in row["cvec"]]).alias("cvec"),
+            )
+            for i, row in enumerate(cents)
+        ]
+    )
+
+    def nearest_cells(unit_col, n: int):
+        scored = F.transform(
+            cent_arr,
+            lambda c: F.struct(
+                _dot(unit_col, c["cvec"]).alias("sim"), c["cell"].alias("cell")
+            ),
+        )
+        return F.slice(F.reverse(F.array_sort(scored)), 1, n)
+
+    c_assigned = cu.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_unit").alias("_cu"),
+        F.element_at(nearest_cells(F.col("_unit"), 1), 1)["cell"].alias("cell"),
+    )
+    q_probed = qu.select(
+        F.col(id_col).alias("query_id"),
+        F.col("_unit").alias("_qu"),
+        F.explode(F.transform(nearest_cells(F.col("_unit"), n_probe), lambda s: s["cell"])).alias("cell"),
+    )
+    scored = (
+        c_assigned.join(F.broadcast(q_probed), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("_cu"), F.col("_qu")), 5).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    )
+    return scored.withColumn("rank", w).filter(F.col("rank") <= k).select(
+        "query_id", "neighbor_id", "rank", "cosine"
+    )
+
+
 def near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.97,

@@ -1,0 +1,90 @@
+"""Custom stateful streaming operator: per-repo running CDC statistics.
+
+Demonstrates the engine's escape hatch for operators Spark lacks
+natively: `applyInPandasWithState` with Arrow-batched per-group
+kernels (the sanctioned Python path — batch-columnar, never per-row
+over the wire). The reference's only 'state' is in-memory counters
+that die with the process (reference: src/consumer.py:42-44,
+src/pipeline.py:31-66); this operator keeps per-key state in Spark's
+checkpointed state store, surviving restarts with the same
+exactly-once properties as the rest of the engine.
+
+State per repo: total changes seen, deletes seen, max lsn, distinct
+paths touched (approximate via a small hash set cap). Emits one row
+per updated repo per microbatch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("total_changes", T.LongType()),
+        T.StructField("total_deletes", T.LongType()),
+        T.StructField("max_lsn", T.LongType()),
+        T.StructField("paths_tracked", T.IntegerType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("total_changes", T.LongType()),
+        T.StructField("total_deletes", T.LongType()),
+        T.StructField("max_lsn", T.LongType()),
+        T.StructField("paths", T.ArrayType(T.StringType())),
+    ]
+)
+
+_PATH_CAP = 1000  # bound state size per key; beyond this, count saturates
+
+
+def _update_repo_state(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (repo,) = key
+    if state.exists:
+        total, deletes, max_lsn, paths = state.get
+        paths = set(paths or [])
+    else:
+        total, deletes, max_lsn, paths = 0, 0, -1, set()
+    for pdf in pdfs:
+        total += len(pdf)
+        deletes += int((pdf["op"] == "delete").sum())
+        if len(pdf):
+            max_lsn = max(max_lsn, int(pdf["lsn"].max()))
+        if len(paths) < _PATH_CAP:
+            paths.update(pdf["path"].dropna().tolist()[: _PATH_CAP - len(paths)])
+    state.update((total, deletes, max_lsn, sorted(paths)))
+    yield pd.DataFrame(
+        [
+            {
+                "repo": repo,
+                "total_changes": total,
+                "total_deletes": deletes,
+                "max_lsn": max_lsn,
+                "paths_tracked": len(paths),
+            }
+        ]
+    )
+
+
+def repo_stats_stream(changes: DataFrame) -> DataFrame:
+    """Streaming per-repo running stats (update output mode)."""
+    return (
+        changes.select("repo", "path", "op", "lsn")
+        .groupBy("repo")
+        .applyInPandasWithState(
+            _update_repo_state,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

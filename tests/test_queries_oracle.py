@@ -81,4 +81,5 @@ def test_every_query_has_callable_and_contract():
         "dedup_simhash",
         "multimodal_decode",
         "ann_lsh",
+        "ann_ivf",
     }

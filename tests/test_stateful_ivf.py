@@ -1,0 +1,86 @@
+"""Stateful streaming operator (applyInPandasWithState) + IVF ANN."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from streaming_data_pipeline_spark.operators import similarity
+from streaming_data_pipeline_spark.schemas import CHANGE_EVENT
+from streaming_data_pipeline_spark.sources.changegen import generate_changes
+from streaming_data_pipeline_spark.streaming.stateful import repo_stats_stream
+
+
+def test_repo_stats_stateful_stream(spark, tmp_path):
+    changes = generate_changes(
+        spark, 1500, seed=4, events_per_epoch=500, invalid_ratio=0.0,
+        duplicate_ratio=0.0, out_of_order_ratio=0.0, delete_ratio=0.2,
+        n_repos=12, partitions=2,
+    )
+    wal = str(tmp_path / "wal")
+    # two file-batches so state accumulates across microbatches
+    changes.filter(F.col("epoch") == 0).drop("epoch").coalesce(1).write.mode("append").parquet(wal)
+    changes.filter(F.col("epoch") > 0).drop("epoch").coalesce(1).write.mode("append").parquet(wal)
+
+    stream = (
+        spark.readStream.schema(CHANGE_EVENT)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(wal)
+    )
+    q = (
+        repo_stats_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("repo_stats")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode emits one row per repo per batch; the LAST row per repo
+    # holds the accumulated totals
+    rows = spark.sql("select * from repo_stats").collect()
+    latest = {}
+    for r in rows:
+        cur = latest.get(r["repo"])
+        if cur is None or r["total_changes"] >= cur["total_changes"]:
+            latest[r["repo"]] = r
+
+    expected = {
+        r["repo"]: r
+        for r in changes.groupBy("repo")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("op") == "delete").cast("long")).alias("d"),
+            F.max("lsn").alias("m"),
+        )
+        .collect()
+    }
+    assert set(latest) == set(expected)
+    for repo, exp in expected.items():
+        got = latest[repo]
+        assert got["total_changes"] == exp["n"], repo
+        assert got["total_deletes"] == exp["d"], repo
+        assert got["max_lsn"] == exp["m"], repo
+
+
+def test_ivf_ann_finds_planted_neighbor(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(60, 16).astype("float32")
+    base[41] = base[7] + rng.randn(16).astype("float32") * 0.01  # planted
+    rows = [(i, [float(x) for x in base[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.ivf_ann_topk(
+        df, df.filter(F.col("vec_id") == 7), k=3, n_cells=8, n_probe=4
+    )
+    got = out.collect()
+    assert any(r["neighbor_id"] == 41 and r["rank"] == 1 for r in got)
+    # recall sanity: probing all cells ⇒ exact
+    full = similarity.ivf_ann_topk(
+        df, df.filter(F.col("vec_id") == 7), k=3, n_cells=8, n_probe=8
+    ).collect()
+    exact = similarity.cosine_topk(df, df.filter(F.col("vec_id") == 7), k=3).collect()
+    assert {(r["rank"], r["neighbor_id"]) for r in full} == {
+        (r["rank"], r["neighbor_id"]) for r in exact
+    }

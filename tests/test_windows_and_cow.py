@@ -1,0 +1,103 @@
+"""COW-mode oracle equivalence + event-time windowed aggregations
+(streaming with watermark via memory sink, and the batch twins)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from streaming_data_pipeline_spark.plans.lake import SnapshotTable
+from streaming_data_pipeline_spark.schemas import CHANGE_EVENT, LAKE_BASE
+from streaming_data_pipeline_spark.sources.changegen import generate_changes
+from streaming_data_pipeline_spark.streaming.apply import apply_changes
+from streaming_data_pipeline_spark.streaming.windows import (
+    repo_activity_sessions_batch,
+    windowed_change_rates,
+    windowed_change_rates_batch,
+)
+
+from .oracle import apply_oracle, state_rows
+
+
+def test_cow_mode_matches_oracle_and_mor(spark, tmp_path):
+    changes = generate_changes(
+        spark, 2500, seed=13, events_per_epoch=800, invalid_ratio=0.05,
+        duplicate_ratio=0.05, out_of_order_ratio=0.1, delete_ratio=0.1,
+        partitions=4,
+    ).persist()
+    collected = [r.asDict(recursive=True) for r in changes.collect()]
+    epochs = sorted({r["epoch"] for r in collected})
+
+    t_cow = SnapshotTable.create(str(tmp_path / "cow"), LAKE_BASE, n_buckets=8)
+    t_mor = SnapshotTable.create(str(tmp_path / "mor"), LAKE_BASE, n_buckets=8)
+    for ep in epochs:
+        batch = changes.filter(F.col("epoch") == ep)
+        apply_changes(spark, t_cow, batch, int(ep), mode="cow")
+        apply_changes(spark, t_mor, batch, int(ep), mode="mor")
+    changes.unpersist()
+
+    def rows(t):
+        return {
+            tuple(r)
+            for r in t.current_state(spark)
+            .select(
+                "repo", "path", "commit", "lang",
+                F.sha2(F.col("content"), 256), "lsn",
+                F.col("review_state"), F.lit(None).cast("string"),
+            )
+            .collect()
+        }
+
+    expected = state_rows(apply_oracle(collected))
+    assert rows(t_cow) == expected
+    assert rows(t_mor) == expected
+
+    # COW keeps exactly one row per key physically (no resolve debt)
+    raw = t_cow.read(spark)
+    assert raw.count() == raw.select("repo", "path").distinct().count()
+
+
+def test_windowed_change_rates_streaming_vs_batch(spark, tmp_path):
+    changes = generate_changes(
+        spark, 2000, seed=8, events_per_epoch=2000, invalid_ratio=0.0,
+        duplicate_ratio=0.0, out_of_order_ratio=0.0, delete_ratio=0.1,
+        partitions=2,
+    ).drop("epoch")
+    wal = str(tmp_path / "wal")
+    changes.coalesce(1).write.parquet(wal)
+
+    stream = spark.readStream.schema(CHANGE_EVENT).parquet(wal)
+    agg = windowed_change_rates(stream, window="1 minute", watermark="2 minutes")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_rates")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["win"]["start"], r["op"]): (r["n_changes"], r["approx_repos"])
+        for r in spark.sql("select * from win_rates").collect()
+    }
+    want = {
+        (r["win_start"], r["op"]): (r["n_changes"], r["approx_repos"])
+        for r in windowed_change_rates_batch(spark.read.parquet(wal), "1 minute").collect()
+    }
+    assert got == want and len(got) > 1
+
+
+def test_sessionization_batch(spark):
+    rows = [
+        ("r1", i, f"2024-01-01 00:{m:02d}:00")
+        for i, m in enumerate([0, 1, 2, 30, 31, 59])
+    ] + [("r2", 100, "2024-01-01 00:05:00")]
+    df = spark.createDataFrame(rows, "repo string, lsn long, ts_s string").withColumn(
+        "ts", F.to_timestamp("ts_s")
+    )
+    out = repo_activity_sessions_batch(df, gap_seconds=600)
+    r1 = sorted(
+        (r["n_changes"], r["max_lsn"]) for r in out.filter(F.col("repo") == "r1").collect()
+    )
+    # gaps: 0-2min contiguous; 30-31; 59 → three sessions
+    assert r1 == [(1, 5), (2, 4), (3, 2)]
+    assert out.filter(F.col("repo") == "r2").count() == 1
