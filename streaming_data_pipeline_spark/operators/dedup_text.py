@@ -37,7 +37,7 @@ def exact_text_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
     doc_id. Output one row per distinct content with the copy count."""
     norm = F.sha2(F.concat_ws(" ", normalized_tokens(text_col)), 256)
     return (
-        df.select(F.col("doc_id"), norm.alias("text_sha"))
+        _spread(df).select(F.col("doc_id"), norm.alias("text_sha"))
         .groupBy("text_sha")
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
     )
@@ -55,9 +55,20 @@ def shingle_array(text_col: str = "text", n: int = 3):
     return F.filter(sh, lambda s: s != "")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Small corpora often arrive as one parquet file = ONE partition,
+    serializing every per-row expression behind a single task. Fan the
+    rows across the cluster before CPU-heavy shingling; no-op cost at
+    scale (inputs there already have many splits)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """(doc_id, shingle) pairs — distinct n-token shingles per document."""
-    return df.select(
+    return _spread(df).select(
         "doc_id", F.explode(F.array_distinct(shingle_array(text_col, n))).alias("shingle")
     )
 
@@ -77,7 +88,8 @@ def ngram_jaccard_pairs(
     # index and the per-doc sizes both derive from it (the expensive
     # part is the shingle expression, not the shuffles)
     sets = (
-        df.select("doc_id", F.array_distinct(shingle_array(text_col, n)).alias("sh_set"))
+        _spread(df)
+        .select("doc_id", F.array_distinct(shingle_array(text_col, n)).alias("sh_set"))
         .filter(F.size("sh_set") > 0)
     )
     sh = sets.select("doc_id", F.size("sh_set").alias("n_sh"), F.explode("sh_set").alias("shingle"))
@@ -142,8 +154,11 @@ def minhash_lsh_pairs(
     index (candidates are the rare case by construction)."""
     assert k % bands == 0
     r = k // bands
-    sh = shingles(df, text_col, n)
-    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh_set"))
+    base = _spread(df).select(
+        "doc_id", F.array_distinct(shingle_array(text_col, n)).alias("sh_set")
+    ).filter(F.size("sh_set") > 0)
+    sets = base
+    sh = base.select("doc_id", F.explode("sh_set").alias("shingle"))
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(seed + i))).alias(f"mh_{i}")
         for i in range(k)
@@ -180,7 +195,7 @@ def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit SimHash: per bit position, sum votes (+1 if token hash has
     the bit set, else -1) over all tokens; bit = 1 when the vote is
     positive. Vectorized as explode → per-bit conditional sums."""
-    toks = df.select(
+    toks = _spread(df).select(
         "doc_id", F.explode(normalized_tokens(text_col)).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
     # shiftleft keeps the bit mask in JVM long space (1 << 63 would
