@@ -138,10 +138,27 @@ class SnapshotTable:
         with open(os.path.join(self.meta_dir, snap["manifest"])) as f:
             return json.load(f)["files"]
 
-    def files(self, version: int | None = None, buckets: set[int] | None = None) -> list[str]:
+    def files(
+        self,
+        version: int | None = None,
+        buckets: set[int] | None = None,
+        repo: str | None = None,
+    ) -> list[str]:
+        """Manifest-level pruning: by bucket (partition pruning) and by
+        per-file repo min/max stats (file skipping). Files written
+        before stats were recorded (or with unreadable footers) are
+        conservatively kept."""
         entries = self.manifest(version)
         if buckets is not None:
             entries = [e for e in entries if e["bucket"] in buckets]
+        if repo is not None:
+            entries = [
+                e
+                for e in entries
+                if e.get("repo_min") is None
+                or e.get("repo_max") is None
+                or (e["repo_min"] <= repo <= e["repo_max"])
+            ]
         return [os.path.join(self.root, e["path"]) for e in entries]
 
     def read(
@@ -189,6 +206,28 @@ class SnapshotTable:
     def current_state(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Live view: LWW-resolved, tombstones filtered out."""
         return self.read(spark, version, resolved=True).filter(~F.col("_deleted"))
+
+    def lookup(
+        self, spark: SparkSession, repo: str, path: str | None = None
+    ) -> DataFrame:
+        """Point/prefix lookup with two-level pruning: with a full key,
+        only the key's bucket is considered; within candidates, files
+        whose repo min/max range excludes the target are skipped — at
+        rest this opens O(files-per-bucket) ≪ O(table) files."""
+        buckets = None
+        if path is not None:
+            row = spark.range(1).select(
+                F.pmod(F.xxhash64(F.lit(repo), F.lit(path)), F.lit(self.n_buckets)).alias("b")
+            ).collect()[0]
+            buckets = {row["b"]}
+        schema = self.schema()
+        files = self.files(buckets=buckets, repo=repo)
+        if not files:
+            return spark.createDataFrame([], schema)
+        df = spark.read.schema(schema).parquet(*files).filter(F.col("repo") == repo)
+        if path is not None:
+            df = df.filter(F.col("path") == path)
+        return self.resolve(df).filter(~F.col("_deleted"))
 
     # ---------------- commits ----------------
 
@@ -259,11 +298,29 @@ class SnapshotTable:
 
         def entry(t: tuple[str, int]) -> dict:
             full, b = t
+            md = pq.ParquetFile(full).metadata
+            # per-file key-range stats (files are key-sorted, so the
+            # parquet footer min/max are exact): the substrate for
+            # file-skipping on point lookups / repo scans
+            repo_min = repo_max = None
+            try:
+                idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                if "repo" in idx:
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx["repo"]).statistics
+                        if st is not None and st.has_min_max:
+                            mn, mx = st.min, st.max
+                            repo_min = mn if repo_min is None else min(repo_min, mn)
+                            repo_max = mx if repo_max is None else max(repo_max, mx)
+            except Exception:
+                pass
             return {
                 "path": os.path.relpath(full, self.root),
                 "bucket": b,
-                "rows": pq.ParquetFile(full).metadata.num_rows,
+                "rows": md.num_rows,
                 "kind": kind,
+                "repo_min": repo_min,
+                "repo_max": repo_max,
             }
 
         # footer reads are tiny but latency-bound; serial scans became a
