@@ -91,6 +91,16 @@ def q_cdc_dlq_analyze(spark, sf_dir):
     )
 
 
+def q_dlq_error_statistics(spark, sf_dir):
+    """`get_error_statistics` parity (reference:
+    src/dead_letter_handler.py:209-240) as an aggregation view."""
+    dlq = q_cdc_dlq_analyze(spark, sf_dir)
+    return (
+        dlq.groupBy("error_category", "can_retry")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 def q_cdc_lww_dedup(spark, sf_dir):
     valid = _valid_changes(spark, sf_dir).select(*_CDC_COLS)
     return lww_dedup(valid, key=("repo", "path"), order=("lsn", "commit"))
@@ -304,7 +314,7 @@ def q_ann_cosine_topk(spark, sf_dir):
 def q_ann_lsh(spark, sf_dir):  # Spark-only (hash-derived hyperplanes)
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    out = similarity.lsh_ann_topk(emb, queries, k=5)
+    out = similarity.lsh_ann_topk(emb, queries, k=5, n_bits=8, n_tables=8)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -375,6 +385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_validate_split_valid": q_cdc_validate_split_valid,
         "cdc_validate_errors": q_cdc_validate_errors,
         "cdc_dlq_analyze": q_cdc_dlq_analyze,
+        "dlq_error_statistics": q_dlq_error_statistics,
         "cdc_lww_dedup": q_cdc_lww_dedup,
         "cdc_final_state": q_cdc_final_state,
         "cdc_epoch_metrics": q_cdc_epoch_metrics,
@@ -435,6 +446,13 @@ def oracle_sql() -> dict[str, str]:
                    'invalid_enum_value' AS error_category,
                    false AS can_retry,
                    'Use valid enum values from schema definition' AS remediation_suggestion
+            FROM changes WHERE NOT ({_VALID_SQL})
+        """,
+        "dlq_error_statistics": f"""
+            {_CHANGES_CTE}
+            SELECT 'invalid_enum_value' AS error_category,
+                   false AS can_retry,
+                   count(*) AS n_events
             FROM changes WHERE NOT ({_VALID_SQL})
         """,
         "cdc_lww_dedup": f"""
