@@ -468,8 +468,8 @@ def oracle_sql() -> dict[str, str]:
             {_CHANGES_CTE}
             SELECT epoch,
                    count(*) AS consumed,
-                   sum(CASE WHEN {_VALID_SQL} THEN 1 ELSE 0 END) AS valid,
-                   sum(CASE WHEN NOT ({_VALID_SQL}) THEN 1 ELSE 0 END) AS invalid,
+                   sum(CASE WHEN {_VALID_SQL} THEN 1 ELSE 0 END)::BIGINT AS valid,
+                   sum(CASE WHEN NOT ({_VALID_SQL}) THEN 1 ELSE 0 END)::BIGINT AS invalid,
                    round(sum(CASE WHEN {_VALID_SQL} THEN 1 ELSE 0 END) * 100.0 / count(*), 2) AS success_rate,
                    round(sum(CASE WHEN NOT ({_VALID_SQL}) THEN 1 ELSE 0 END) * 100.0 / count(*), 2) AS error_rate
             FROM changes GROUP BY epoch
@@ -513,7 +513,7 @@ def oracle_sql() -> dict[str, str]:
         "running_counters": """
             SELECT count(*) AS n_events,
                    count(DISTINCT user_id) AS n_users,
-                   sum(CASE WHEN event_type IN ('purchase','signup') THEN 1 ELSE 0 END) AS n_conversions,
+                   sum(CASE WHEN event_type IN ('purchase','signup') THEN 1 ELSE 0 END)::BIGINT AS n_conversions,
                    round(sum(value), 2) AS total_value
             FROM events
         """,
