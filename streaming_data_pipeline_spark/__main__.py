@@ -54,35 +54,26 @@ def main(argv: list[str] | None = None) -> int:
             if SnapshotTable(args.table).exists()
             else SnapshotTable.create(args.table, LAKE_BASE, n_buckets=args.n_buckets)
         )
+        source = None
         if args.kafka:
             from .sources.kafka import kafka_change_stream
-            from .streaming.apply import run_epoch
-            from .streaming.exactly_once import EpochLog
 
-            src = kafka_change_stream(spark, args.kafka, args.topic)
-            log = EpochLog(table.root)
-            writer = (
-                src.writeStream.foreachBatch(
-                    lambda df, bid: run_epoch(spark, table, log, df, bid, mode=args.mode)
-                ).option("checkpointLocation", args.checkpoint)
-            )
-            q = (
-                writer.trigger(processingTime=args.soak)
-                if args.soak
-                else writer.trigger(availableNow=True)
-            ).start()
-        else:
-            if not args.wal:
-                p.error("run requires --wal or --kafka")
-            q = start_cdc_stream(
-                spark,
-                table,
-                args.wal,
-                args.checkpoint,
-                mode=args.mode,
-                processing_time=args.soak,
-                compact_every=args.compact_every,
-            )
+            source = kafka_change_stream(spark, args.kafka, args.topic)
+        elif not args.wal:
+            p.error("run requires --wal or --kafka")
+        # one runner for both sources: epoch markers, lineage (offsets_for
+        # parses file-WAL records AND kafka topic/partition/offset maps)
+        # and MOR compaction cadence are source-agnostic
+        q = start_cdc_stream(
+            spark,
+            table,
+            args.wal or "",
+            args.checkpoint,
+            mode=args.mode,
+            processing_time=args.soak,
+            compact_every=args.compact_every,
+            source=source,
+        )
         q.awaitTermination()
         return 0
 

@@ -219,9 +219,18 @@ def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text", max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash: block on 4 × 16-bit chunks (a pair
-    within Hamming distance ≤3 must agree on ≥1 chunk — pigeonhole),
-    then verify exact Hamming distance with bit_count(xor)."""
+    """Near-dup pairs by SimHash with a RECALL GUARANTEE: block on
+    ``max_hamming + 1`` bit chunks — by pigeonhole, a pair within Hamming
+    distance ``max_hamming`` has at most that many differing bits, so at
+    least one of the max_hamming+1 chunks is identical on both sides.
+    Candidates from the chunk-equi join are verified with exact
+    bit_count(xor). Wider radii mean narrower chunks (bigger buckets,
+    more candidates) — the correct recall/cost trade, chosen here by the
+    radius instead of silently losing pairs beyond a fixed 4-chunk split."""
+    n_chunks = min(max(max_hamming + 1, 2), 64)
+    base, rem = divmod(64, n_chunks)
+    widths = [base + 1 if i < rem else base for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
     sig = simhash64(df, text_col)
     chunks = sig.select(
         "doc_id",
@@ -231,11 +240,11 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", max_hamming: int =
                 *[
                     F.struct(
                         F.lit(i).alias("chunk_id"),
-                        F.shiftrightunsigned(F.col("simhash"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("simhash"), offsets[i])
+                        .bitwiseAND(F.lit((1 << widths[i]) - 1).cast("long"))
                         .alias("chunk"),
                     )
-                    for i in range(4)
+                    for i in range(n_chunks)
                 ]
             )
         ).alias("c"),

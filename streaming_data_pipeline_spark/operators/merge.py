@@ -66,6 +66,7 @@ def append_delta(
     new_schema: T.StructType | None = None,
     salt_buckets: int = 8,
     dedup_in_batch: bool = False,
+    column_renames: dict[str, str] | None = None,
 ) -> dict:
     """MERGE-ON-READ apply (the default streaming path; Iceberg-v2
     equality-delete shape): write the batch as bucketed DELTA files,
@@ -128,6 +129,7 @@ def append_delta(
         epoch=epoch,
         operation="append_delta",
         summary=summary,
+        column_renames=column_renames,
     )
     return {"version": ver, "files": new_files, **summary}
 
@@ -141,6 +143,7 @@ def merge_into(
     new_schema: T.StructType | None = None,
     salt_buckets: int = 8,
     operation: str = "merge",
+    column_renames: dict[str, str] | None = None,
 ) -> dict:
     """LWW-merge ``changes`` (validated CHANGE_EVENT rows, payload already
     promoted) into ``table``. Returns a summary dict (also recorded in
@@ -163,6 +166,7 @@ def merge_into(
                 new_files=[], replaced_buckets=set(), schema=lake_schema,
                 epoch=epoch, operation=operation,
                 summary={"source_rows": 0, "touched_buckets": []},
+                column_renames=column_renames,
             )
             return {"version": ver, "source_rows": 0, "touched_buckets": [], "files": []}
 
@@ -184,7 +188,13 @@ def merge_into(
 
         has_src = F.col("_s_repo").isNotNull()
         has_tgt = F.col("_t_repo").isNotNull()
-        apply_src = has_src & (~has_tgt | (F.col("_s_lsn") > F.col("_t_lsn")))
+        # same total order as lww_dedup / MOR resolve: lexicographic
+        # (lsn, commit) via struct comparison — on an lsn tie the two apply
+        # modes must pick the same winner. Strict inequality keeps replay
+        # idempotent (re-applying an applied change is a no-op).
+        s_ord = F.struct(F.col("_s_lsn"), F.col("_s_commit"))
+        t_ord = F.struct(F.col("_t_lsn"), F.col("_t_commit"))
+        apply_src = has_src & (~has_tgt | (s_ord > t_ord))
 
         resolved_cols = []
         for c in cols:
@@ -241,6 +251,7 @@ def merge_into(
             epoch=epoch,
             operation=operation,
             summary=summary,
+            column_renames=column_renames,
         )
         return {"version": ver, "files": new_files, **summary}
     finally:

@@ -51,7 +51,12 @@ def bucket_col(n_buckets: int, repo: str = "repo", path: str = "path"):
     return F.pmod(F.xxhash64(F.col(repo), F.col(path)), F.lit(n_buckets))
 
 
-def _atomic_write_json(obj: dict, dest: str) -> None:
+def _atomic_write_json(obj: dict, dest: str, *, exclusive: bool = False) -> None:
+    """Write-temp + publish. ``exclusive=True`` publishes with os.link,
+    which fails atomically (FileExistsError) if ``dest`` already exists —
+    true first-writer-wins for commit metadata. ``exclusive=False`` uses
+    os.rename (last-writer-wins), right for advisory files like the
+    version hint where overwrite is the intent."""
     d = os.path.dirname(dest)
     os.makedirs(d, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
@@ -60,7 +65,10 @@ def _atomic_write_json(obj: dict, dest: str) -> None:
             json.dump(obj, f, indent=1)
             f.flush()
             os.fsync(f.fileno())
-        os.rename(tmp, dest)
+        if exclusive:
+            os.link(tmp, dest)  # atomic create-or-raise; no overwrite window
+        else:
+            os.rename(tmp, dest)
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
@@ -129,6 +137,13 @@ class SnapshotTable:
     @property
     def n_buckets(self) -> int:
         return self.metadata()["n_buckets"]
+
+    @property
+    def column_renames(self) -> dict[str, str]:
+        """Persisted {payload_key: column} rename mappings — accepted
+        renames survive across epochs so a later batch carrying the new
+        key keeps landing in the same column (streaming/evolve.py)."""
+        return self.metadata().get("column_renames", {})
 
     # ---------------- reads ----------------
 
@@ -243,16 +258,34 @@ class SnapshotTable:
         epoch: int | None = None,
         operation: str = "merge",
         summary: dict | None = None,
+        column_renames: dict[str, str] | None = None,
     ) -> int:
         """Atomically publish snapshot v+1 = (old manifest − replaced
         buckets) ∪ new_files. Returns the new version id."""
         v = self.current_version()
         meta = self.metadata(v)
+        if column_renames:
+            merged = dict(meta.get("column_renames", {}))
+            merged.update(column_renames)
+            meta["column_renames"] = merged
         carried = [e for e in self.manifest(v) if e["bucket"] not in replaced_buckets]
         files = carried + new_files
         nv = v + 1
+        # manifests are published exclusively too; a concurrent writer (or
+        # a crashed attempt's orphan) owning manifest-{nv}.json must not be
+        # clobbered — fall over to a suffixed name (the v{N}.json link below
+        # is the single arbiter of which manifest becomes the snapshot).
         man_name = f"manifest-{nv}.json"
-        _atomic_write_json({"files": files}, os.path.join(self.meta_dir, man_name))
+        attempt = 0
+        while True:
+            try:
+                _atomic_write_json(
+                    {"files": files}, os.path.join(self.meta_dir, man_name), exclusive=True
+                )
+                break
+            except FileExistsError:
+                attempt += 1
+                man_name = f"manifest-{nv}-{attempt}.json"
 
         meta["version"] = nv
         meta["current_snapshot_id"] = nv
@@ -267,10 +300,14 @@ class SnapshotTable:
             "operation": operation,
             "summary": summary or {},
         }
+        # first-writer-wins: os.link-based publish raises FileExistsError
+        # atomically if a concurrent writer already committed v+1 — no
+        # check-then-rename window where the loser clobbers the winner.
         dest = os.path.join(self.meta_dir, f"v{nv}.json")
-        if os.path.exists(dest):
-            raise FileExistsError(f"concurrent commit detected at {dest}")
-        _atomic_write_json(meta, dest)
+        try:
+            _atomic_write_json(meta, dest, exclusive=True)
+        except FileExistsError:
+            raise FileExistsError(f"concurrent commit detected at {dest}") from None
         _atomic_write_json({"v": nv}, os.path.join(self.meta_dir, "version-hint.json"))
         return nv
 

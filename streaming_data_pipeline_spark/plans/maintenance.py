@@ -138,6 +138,8 @@ def expire_snapshots(table: SnapshotTable, keep_last: int = 2) -> list[str]:
         "summary": {"deleted_files": len(deleted), "retained": sorted(retained)},
     }
     meta["current_snapshot_id"] = nv
-    _atomic_write_json(meta, os.path.join(table.meta_dir, f"v{nv}.json"))
+    # same first-writer-wins rule as SnapshotTable.commit: the expiry bump
+    # must not silently clobber a concurrent writer's v{N}.json
+    _atomic_write_json(meta, os.path.join(table.meta_dir, f"v{nv}.json"), exclusive=True)
     _atomic_write_json({"v": nv}, os.path.join(table.meta_dir, "version-hint.json"))
     return deleted

@@ -8,12 +8,13 @@ runner (streaming/stream.py) takes any source DataFrame shaped like
 CHANGE_EVENT, so swapping the file tailer for `kafka_change_stream`
 is one call at wiring time.
 
-Offsets/exactly-once: with Kafka the checkpoint WAL stores
-topic/partition/offset ranges instead of file lists; run_epoch's
-lineage picks them up from `batch_df` via the same checkpoint-sources
-mechanism (sources/0/<batchId> holds the offset json). Nothing else in
-the engine changes — epoch markers and idempotent applies are
-source-agnostic.
+Offsets/exactly-once: with Kafka the checkpoint WAL stores a
+topic→partition→offset map instead of file records; the runner's
+offsets_for (streaming/stream.py) parses BOTH formats from
+<ckpt>/sources/0/<batchId> and records Kafka epochs' lineage as
+"topic:partition:endOffset" strings in the commit marker. Nothing else
+in the engine changes — epoch markers and idempotent applies are
+source-agnostic (pass this stream as ``source=`` to start_cdc_stream).
 """
 
 from __future__ import annotations
@@ -46,7 +47,17 @@ def kafka_change_stream(
     )
     if max_offsets_per_trigger:
         reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
-    raw = reader.load()
+    return parse_kafka_records(reader.load())
+
+
+def parse_kafka_records(raw: DataFrame) -> DataFrame:
+    """Kafka-record rows (value/topic/partition/offset) → CHANGE_EVENT
+    columns. Factored out of the readStream builder so the parse
+    semantics are testable without a broker: malformed JSON yields null
+    required fields (from_json's PERMISSIVE analog of the reference's
+    decode-error handling, src/consumer.py:74-81) and is routed to the
+    DLQ by the normal validation split — covered by
+    tests/test_kafka_contract.py."""
     parsed = raw.select(
         F.from_json(F.col("value").cast("string"), CHANGE_EVENT).alias("e"),
         F.col("topic"),

@@ -51,7 +51,7 @@ def apply_changes(
     epoch: int,
     *,
     mode: str = "mor",
-    detect_renames: bool = True,
+    detect_renames: bool = False,
     salt_buckets: int = 8,
     stage: str = "consumer_validation",
     cache_batch: bool | None = None,
@@ -135,8 +135,14 @@ def apply_changes(
             dlq_future = pool.submit(dlq_branch)
 
             t1 = _time.time()
+            # accepted renames persist in table metadata so the mapping is
+            # stable across epochs (a later batch carrying the new key
+            # keeps landing in the same column without re-detection)
             promoted, new_schema, evolution = evolve_and_promote(
-                valid, table.schema(), detect_renames=detect_renames
+                valid,
+                table.schema(),
+                detect_renames=detect_renames,
+                known_renames=table.column_renames,
             )
             _mark("schema_evolve", t1)
 
@@ -149,6 +155,7 @@ def apply_changes(
                 epoch=epoch,
                 new_schema=new_schema,
                 salt_buckets=salt_buckets,
+                column_renames=evolution["renamed_columns"] or None,
             )
             _mark("apply_" + mode, t1)
             n_dlq = dlq_future.result()

@@ -10,12 +10,17 @@ to real (string-typed) table columns in the SAME atomic commit as the
 data. Old rows read the new column as null (by-name Parquet
 reconciliation in plans/lake.py).
 
-Rename heuristic (logged, conservative, off-switchable): if exactly one
+Rename heuristic (OFF by default — opt-in): if exactly one
 previously-known payload column receives zero values in the batch while
 exactly one unknown key appears, treat it as a rename — the new key's
 values flow into the EXISTING column and the mapping is recorded; no
 new column is created. Anything more ambiguous falls back to plain
-addition (never destructive).
+addition (never destructive). The signal is weak (a sparse batch plus a
+genuinely new key fires it), so it defaults off and, when an accepted
+rename IS taken, the caller persists it into the table metadata
+(``column_renames``) so the mapping is stable across epochs — a later
+batch carrying the new key keeps landing in the same column instead of
+re-running the heuristic from scratch.
 """
 
 from __future__ import annotations
@@ -51,27 +56,53 @@ def evolve_and_promote(
     df: DataFrame,
     table_schema: T.StructType,
     *,
-    detect_renames: bool = True,
+    detect_renames: bool = False,
+    known_renames: dict[str, str] | None = None,
 ) -> tuple[DataFrame, T.StructType, dict]:
     """Promote payload keys to columns; return (df_with_promoted_columns,
     new_table_schema, evolution_report). ``df`` keeps CHANGE_EVENT shape
-    minus ``payload`` plus one string column per known/new key."""
+    minus ``payload`` plus one string column per known/new key.
+
+    ``known_renames`` — persisted {payload_key: existing_column} mappings
+    (from the table's ``column_renames`` metadata): those keys always land
+    in their mapped column and never count as new. Newly DETECTED renames
+    (only when ``detect_renames=True``) are returned in the report for the
+    caller to persist."""
+    known_renames = dict(known_renames or {})
     known_extras = [f.name for f in table_schema.fields if f.name not in LAKE_BASE_COLS]
     counts = payload_key_counts(df)
-    new_keys = sorted(k for k in counts if k not in known_extras and k not in LAKE_BASE_COLS)
-    silent = sorted(k for k in known_extras if counts.get(k, 0) == 0)
+    # effective payload source key per existing column (persisted renames win)
+    src_for = {c: c for c in known_extras}
+    for nk, old in known_renames.items():
+        if old in src_for:
+            src_for[old] = nk
+    new_keys = sorted(
+        k
+        for k in counts
+        if k not in known_extras and k not in LAKE_BASE_COLS and k not in known_renames
+    )
+    silent = sorted(
+        c for c in known_extras if counts.get(src_for[c], 0) == 0 and counts.get(c, 0) == 0
+    )
 
     renames: dict[str, str] = {}
     if detect_renames and len(new_keys) == 1 and len(silent) == 1:
         renames = {new_keys[0]: silent[0]}
+        src_for[silent[0]] = new_keys[0]
         log.warning("schema-evolution: treating payload key %r as rename of column %r", new_keys[0], silent[0])
         new_keys = []
 
     out = df
     if "payload" in df.columns:
         for col_name in known_extras:
-            src_key = next((nk for nk, old in renames.items() if old == col_name), col_name)
-            out = out.withColumn(col_name, F.col("payload")[src_key])
+            src_key = src_for[col_name]
+            if src_key == col_name:
+                val = F.col("payload")[col_name]
+            else:
+                # renamed: prefer the new key, fall back to the old one so a
+                # transition batch carrying both keys loses nothing
+                val = F.coalesce(F.col("payload")[src_key], F.col("payload")[col_name])
+            out = out.withColumn(col_name, val)
         for k in new_keys:
             out = out.withColumn(k, F.col("payload")[k])
         out = out.drop("payload")
@@ -91,5 +122,6 @@ def evolve_and_promote(
         "payload_keys": counts,
         "added_columns": new_keys,
         "renamed_columns": renames,
+        "applied_renames": {**known_renames, **renames},
     }
     return out, new_schema, report

@@ -24,6 +24,41 @@ from .apply import run_epoch
 from .exactly_once import EpochLog
 
 
+def checkpoint_offsets(checkpoint_dir: str, batch_id: int) -> list[str]:
+    """Authoritative per-epoch offset range from the checkpoint's source
+    WAL (<ckpt>/sources/0/<batchId>). This is the lineage anchor —
+    `inputFiles()` on the microbatch plan is best-effort only. Two source
+    formats are handled:
+      - file source: one JSON record per file, each with a "path";
+      - Kafka source: a single JSON topic→partition→endOffset map,
+        serialized here as "topic:partition:offset" strings (the range
+        start is the previous batch's entry)."""
+    import json as _json
+    import os as _os
+
+    p = _os.path.join(checkpoint_dir, "sources", "0", str(batch_id))
+    files: list[str] = []
+    try:
+        with open(p) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("v"):
+                    continue
+                rec = _json.loads(line)
+                if isinstance(rec, dict) and "path" in rec:
+                    files.append(rec["path"])
+                elif isinstance(rec, dict):
+                    # kafka offset map: {"topic": {"partition": offset}}
+                    for topic, parts in rec.items():
+                        if isinstance(parts, dict):
+                            files.extend(
+                                f"{topic}:{part}:{off}" for part, off in sorted(parts.items())
+                            )
+    except OSError:
+        pass
+    return files
+
+
 def start_cdc_stream(
     spark: SparkSession,
     table: SnapshotTable,
@@ -33,49 +68,36 @@ def start_cdc_stream(
     max_files_per_trigger: int | None = None,
     processing_time: str | None = None,
     fail_after_epochs: int | None = None,
-    detect_renames: bool = True,
+    detect_renames: bool = False,
     salt_buckets: int = 8,
     mode: str = "mor",
     compact_every: int | None = 8,
     compact_max_files_per_bucket: int = 4,
+    source=None,
 ) -> StreamingQuery:
     """Start the CDC tailer. ``fail_after_epochs`` injects a crash after
-    N applied epochs (chaos tests). Returns the StreamingQuery."""
-    reader = spark.readStream.schema(CHANGE_EVENT)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    src = reader.parquet(source_dir)
+    N applied epochs (chaos tests). Returns the StreamingQuery.
+
+    ``source``: optional pre-built streaming DataFrame in CHANGE_EVENT
+    shape (e.g. sources.kafka.kafka_change_stream) replacing the file
+    tailer — the epoch protocol, lineage extraction (offsets_for parses
+    both file-WAL and Kafka offset formats) and compaction cadence are
+    source-agnostic."""
+    if source is not None:
+        src = source
+    else:
+        reader = spark.readStream.schema(CHANGE_EVENT)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        src = reader.parquet(source_dir)
 
     epoch_log = EpochLog(table.root)
     applied = {"n": 0}
 
-    def offsets_for(batch_id: int) -> list[str]:
-        """Authoritative per-epoch offset range from the checkpoint's
-        file-source WAL (<ckpt>/sources/0/<batchId>: one JSON per file).
-        This is the lineage anchor — `inputFiles()` on the microbatch
-        plan is best-effort only."""
-        import json as _json
-        import os as _os
-
-        p = _os.path.join(checkpoint_dir, "sources", "0", str(batch_id))
-        files: list[str] = []
-        try:
-            with open(p) as f:
-                for line in f:
-                    line = line.strip()
-                    if not line or line.startswith("v"):
-                        continue
-                    rec = _json.loads(line)
-                    if isinstance(rec, dict) and "path" in rec:
-                        files.append(rec["path"])
-        except OSError:
-            pass
-        return files
-
     def process(batch_df, batch_id: int):
         stats = run_epoch(
             spark, table, epoch_log, batch_df, batch_id,
-            source_offsets=offsets_for(batch_id), mode=mode,
+            source_offsets=checkpoint_offsets(checkpoint_dir, batch_id), mode=mode,
             detect_renames=detect_renames, salt_buckets=salt_buckets,
         )
         if stats is not None:

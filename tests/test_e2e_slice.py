@@ -162,3 +162,29 @@ def test_time_travel_and_bucket_pruning(spark, tmp_path, changes, collected):
     some_bucket = {table.manifest()[0]["bucket"]}
     pruned = table.files(buckets=some_bucket)
     assert 0 < len(pruned) < len(all_files)
+
+
+def test_concurrent_commit_first_writer_wins(spark, tmp_path):
+    """Two writers computing the same v+1: the second publish must FAIL
+    atomically (os.link O_EXCL semantics), never silently clobber the
+    winner's manifest/metadata (ADVICE r1: check-then-rename race)."""
+    import pytest
+
+    from streaming_data_pipeline_spark.plans.lake import SnapshotTable
+    from streaming_data_pipeline_spark.schemas import LAKE_BASE
+
+    table = SnapshotTable.create(str(tmp_path / "race"), LAKE_BASE, n_buckets=4)
+
+    class Frozen(SnapshotTable):
+        # pin the version both writers see, as a concurrent racer would
+        def current_version(self) -> int:
+            return 0
+
+    frozen = Frozen(table.root)
+    v1 = frozen.commit(new_files=[], replaced_buckets=set(), operation="a")
+    assert v1 == 1
+    with pytest.raises(FileExistsError, match="concurrent commit"):
+        frozen.commit(new_files=[], replaced_buckets=set(), operation="b")
+    # the winner's snapshot is intact and the real table rolls forward
+    assert table.current_version() == 1
+    assert table.metadata()["snapshots"]["1"]["operation"] == "a"

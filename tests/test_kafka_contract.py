@@ -1,0 +1,85 @@
+"""Kafka S4 contract semantics pinned WITHOUT a broker (VERDICT r1 #5):
+the parse stage (sources/kafka.py parse_kafka_records) over synthesized
+kafka-shaped rows (value/topic/partition/offset), malformed JSON routed
+to DLQ via the normal validation split, and the runner's offsets_for
+parsing the Kafka checkpoint offset-map format for lineage."""
+
+from __future__ import annotations
+
+import json
+
+from streaming_data_pipeline_spark.functions.validate import validate_and_split
+from streaming_data_pipeline_spark.sources.kafka import parse_kafka_records
+
+KAFKA_SHAPE = "value binary, topic string, partition int, offset long"
+
+
+def _records(spark, payloads: list[str]):
+    rows = [
+        (p.encode("utf-8"), "change-events", i % 3, i) for i, p in enumerate(payloads)
+    ]
+    return spark.createDataFrame(rows, KAFKA_SHAPE)
+
+
+def _event(**kw) -> str:
+    base = {
+        "op": "insert", "repo": "r1", "path": "a.py", "commit": "c1",
+        "lang": "python", "content": "x = 1", "lsn": 1, "ts": None,
+    }
+    base.update(kw)
+    return json.dumps(base)
+
+
+def test_parse_well_formed_records(spark):
+    out = parse_kafka_records(
+        _records(spark, [_event(lsn=1), _event(lsn=2, path="b.py")])
+    ).collect()
+    assert {r["path"] for r in out} == {"a.py", "b.py"}
+    assert all(r["op"] == "insert" and r["content"] == "x = 1" for r in out)
+
+
+def test_malformed_json_routes_to_dlq(spark):
+    """Reference parity (src/consumer.py:74-81): a message that fails
+    JSON decode becomes a dead-letter, not a crash. from_json yields
+    null fields → the validation split routes the row to the invalid
+    side with a missing-required-field error."""
+    payloads = [_event(lsn=1), "{not json at all", _event(lsn=3, op="bogus")]
+    parsed = parse_kafka_records(_records(spark, payloads))
+    valid, invalid = validate_and_split(parsed)
+    assert valid.count() == 1
+    bad = invalid.collect()
+    assert len(bad) == 2
+    msgs = {r["_error_message"] for r in bad}
+    assert any("missing required field" in m for m in msgs)  # malformed JSON
+    assert any("invalid enum value for 'op': bogus" in m for m in msgs)
+
+
+def test_binary_and_string_values_both_parse(spark):
+    """The Kafka source delivers value as binary; file-based test doubles
+    often use string — the cast handles both."""
+    df = spark.createDataFrame(
+        [(_event(lsn=9), "t", 0, 0)], "value string, topic string, partition int, offset long"
+    )
+    out = parse_kafka_records(df).collect()
+    assert out[0]["lsn"] == 9
+
+
+def test_offsets_for_parses_kafka_offset_map(tmp_path):
+    """Lineage contract: the runner's per-epoch offset extraction reads
+    the Kafka WAL format (topic -> partition -> offset map) as well as
+    file-source records."""
+    from streaming_data_pipeline_spark.streaming import stream as stream_mod
+
+    src_dir = tmp_path / "ckpt" / "sources" / "0"
+    src_dir.mkdir(parents=True)
+    (src_dir / "7").write_text(
+        'v1\n{"change-events":{"0":120,"1":95}}\n'
+    )
+    (src_dir / "8").write_text(
+        'v1\n{"path":"file:///wal/f1.parquet","timestamp":1,"batchId":8}\n'
+        '{"path":"file:///wal/f2.parquet","timestamp":1,"batchId":8}\n'
+    )
+    kafka = stream_mod.checkpoint_offsets(str(tmp_path / "ckpt"), 7)
+    files = stream_mod.checkpoint_offsets(str(tmp_path / "ckpt"), 8)
+    assert kafka == ["change-events:0:120", "change-events:1:95"]
+    assert files == ["file:///wal/f1.parquet", "file:///wal/f2.parquet"]

@@ -144,3 +144,22 @@ def test_frame_sampling(spark):
     frames = multimodal.frame_sample_plan(docs, every_ms=500)
     rows = frames.groupBy("doc_id").count().collect()
     assert rows and all(r["count"] >= 2 for r in rows)  # duration ≥ 1000ms
+
+
+def test_simhash_radius_guarantee(spark):
+    """Blocking uses max_hamming+1 chunks (pigeonhole): at radius 8 the
+    candidate stage cannot miss a pair within distance 8, which the old
+    fixed 4x16-bit split could (ADVICE r1). Oracle: brute-force XOR."""
+    sigs = dedup_text.simhash64(_docs(spark)).collect()
+    truth = set()
+    for i, a in enumerate(sigs):
+        for b in sigs[i + 1:]:
+            d = bin((a["simhash"] ^ b["simhash"]) & (2**64 - 1)).count("1")
+            if d <= 8:
+                key = tuple(sorted((a["doc_id"], b["doc_id"])))
+                truth.add(key + (d,))
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dedup_text.simhash_near_pairs(_docs(spark), max_hamming=8).collect()
+    }
+    assert got == truth

@@ -90,3 +90,59 @@ def test_ambiguous_rename_falls_back_to_add(spark):
     _, new_schema, report = evolve_and_promote(batch, schema, detect_renames=True)
     assert report["renamed_columns"] == {}
     assert sorted(report["added_columns"]) == ["stargazers", "watchers"]
+
+
+def test_accepted_rename_persists_across_epochs(spark, tmp_path):
+    """An accepted rename is recorded in table metadata (column_renames)
+    and applied on later epochs WITHOUT the heuristic: a subsequent
+    sparse batch carrying only the new key keeps landing in the same
+    column (ADVICE: persist renames so the mapping is stable)."""
+    table = SnapshotTable.create(str(tmp_path / "t"), LAKE_BASE, n_buckets=4)
+    apply_changes(
+        spark,
+        table,
+        spark.createDataFrame([_ev("insert", "r", "a.py", 1, {"stars": "5"})], CH),
+        0,
+    )
+    # epoch 1: stars silent, stargazers appears → rename accepted (opt-in)
+    apply_changes(
+        spark,
+        table,
+        spark.createDataFrame([_ev("insert", "r", "b.py", 2, {"stargazers": "7"})], CH),
+        1,
+        detect_renames=True,
+    )
+    assert table.column_renames == {"stargazers": "stars"}
+    # epoch 2: heuristic OFF (default); persisted mapping still applies
+    apply_changes(
+        spark,
+        table,
+        spark.createDataFrame([_ev("insert", "r", "c.py", 3, {"stargazers": "9"})], CH),
+        2,
+    )
+    rows = {r["path"]: r for r in table.current_state(spark).collect()}
+    assert rows["a.py"]["stars"] == "5"
+    assert rows["b.py"]["stars"] == "7"
+    assert rows["c.py"]["stars"] == "9"
+    assert "stargazers" not in [f.name for f in table.schema().fields]
+
+
+def test_rename_default_off_in_apply(spark, tmp_path):
+    """detect_renames defaults OFF in apply_changes: the ambiguous signal
+    (silent column + unknown key) adds a column instead of renaming."""
+    table = SnapshotTable.create(str(tmp_path / "t2"), LAKE_BASE, n_buckets=4)
+    apply_changes(
+        spark,
+        table,
+        spark.createDataFrame([_ev("insert", "r", "a.py", 1, {"stars": "5"})], CH),
+        0,
+    )
+    apply_changes(
+        spark,
+        table,
+        spark.createDataFrame([_ev("insert", "r", "b.py", 2, {"stargazers": "7"})], CH),
+        1,
+    )
+    names = [f.name for f in table.schema().fields]
+    assert "stars" in names and "stargazers" in names
+    assert table.column_renames == {}
