@@ -10,12 +10,13 @@ predicate is JVM-side and codegen'd, no per-row Python
 src/producer.py:177 and consumer src/consumer.py:118); we validate
 exactly once per event by construction (SURVEY.md R2).
 
-Rules (change-event envelope, analog of event_schema.yaml:5-63):
-  - op       required, enum {insert, update, delete}    (like event_type enum)
-  - repo     required (like required user_id)
-  - path     required
-  - lsn      required, >= 0                              (like amount >= 0)
-  - content  required unless op = delete
+Rules are DATA, not code: the change-event rule set lives in
+schema_docs/event_rules.yaml (the analog of the reference's
+schema/event_schema.yaml:5-63 — required fields, op enum like the
+event_type enum, lsn >= 0 like amount >= 0, content required unless
+op = delete) and is compiled once into whole-column predicates by
+functions/schema_compile.py. New field rules ship as a YAML edit with
+no code change, matching the reference's config-driven surface.
 """
 
 from __future__ import annotations
@@ -23,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..schemas import OPS
+from .schema_compile import compiled_errors
 
 VALID_FLAG = "_valid"
 ERROR_COL = "_error_message"
@@ -32,27 +33,13 @@ ERROR_COL = "_error_message"
 def validation_errors() -> Column:
     """Per-row semicolon-joined error string (empty ⇒ valid).
 
-    Mirrors `get_schema_errors` (reference: schema_validator.py:147-169)
-    as one `concat_ws` of `when` predicates — rule order preserved so the
-    first/most-specific failure leads the message, which the DLQ
-    categorizer (functions/dlq.py) keys off.
+    Mirrors `get_schema_errors` (reference: schema_validator.py:147-169):
+    one `concat_ws` of `when` predicates compiled from the checked-in
+    rule document — rule order preserved so the first/most-specific
+    failure leads the message, which the DLQ categorizer
+    (functions/dlq.py) keys off.
     """
-    return F.concat_ws(
-        "; ",
-        F.when(F.col("repo").isNull(), F.lit("missing required field 'repo'")),
-        F.when(F.col("path").isNull(), F.lit("missing required field 'path'")),
-        F.when(F.col("op").isNull(), F.lit("missing required field 'op'")),
-        F.when(
-            F.col("op").isNotNull() & ~F.col("op").isin(*OPS),
-            F.concat(F.lit("invalid enum value for 'op': "), F.col("op")),
-        ),
-        F.when(F.col("lsn").isNull(), F.lit("missing required field 'lsn'")),
-        F.when(F.col("lsn") < 0, F.lit("'lsn' must be >= 0")),
-        F.when(
-            (F.col("op") != "delete") & F.col("content").isNull(),
-            F.lit("missing required field 'content'"),
-        ),
-    )
+    return compiled_errors("change_event")
 
 
 def apply_defaults(df: DataFrame) -> DataFrame:
