@@ -32,11 +32,15 @@ N_CDC_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "1000000"))
 N_CDC_EPOCHS = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "4"))
 
 
-def run_cdc_apply(spark) -> tuple[float, int]:
+def run_cdc_apply(spark, mode: str = "mor") -> tuple[float, int]:
     """Full-pipeline apply of a change stream (validate → DLQ → evolve →
-    MOR delta append → final compaction). The stream is materialized as
-    a parquet WAL first — generation is excluded from timing, as in real
-    CDC where the log already exists. Returns (seconds, events)."""
+    apply). ``mode='mor'`` appends bucketed deltas + one final
+    compaction (the default engine path); ``mode='cow'`` runs the
+    copy-on-write MERGE join per epoch — benchmarked side by side so the
+    MOR-as-default decision stays evidenced as the code evolves. The
+    stream is materialized as a parquet WAL first — generation is
+    excluded from timing, as in real CDC where the log already exists.
+    Returns (seconds, events)."""
     import os as _os
 
     from streaming_data_pipeline_spark.plans.lake import SnapshotTable
@@ -72,9 +76,10 @@ def run_cdc_apply(spark) -> tuple[float, int]:
         t0 = time.time()
         n = 0
         for ep in range(N_CDC_EPOCHS + 2):  # +2: late/dup spill epochs
-            stats = apply_changes(spark, table, batch(ep), epoch=ep, salt_buckets=8)
+            stats = apply_changes(spark, table, batch(ep), epoch=ep, salt_buckets=8, mode=mode)
             n += stats.get("source_rows", 0)
-        compact(spark, table, max_files_per_bucket=1)
+        if mode == "mor":
+            compact(spark, table, max_files_per_bucket=1)
         dt = time.time() - t0
         return dt, n
     finally:
@@ -113,8 +118,14 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
-    cdc_sec, cdc_events = run_cdc_apply(spark)
+    cdc_sec, cdc_events = run_cdc_apply(spark, mode="mor")
     timings["cdc_apply_pipeline"] = round(cdc_sec, 3)
+
+    # settle the page cache so the COW run isn't taxed by MOR's writeback
+    os.sync()
+    time.sleep(5)
+    cow_sec, cow_events = run_cdc_apply(spark, mode="cow")
+    timings["cdc_apply_pipeline_cow"] = round(cow_sec, 3)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -125,6 +136,7 @@ def main() -> None:
         "sf": SF_DIR,
         "cdc_apply_events": cdc_events,
         "cdc_apply_events_per_sec": round(cdc_events / cdc_sec, 1) if cdc_sec else None,
+        "cdc_apply_cow_events_per_sec": round(cow_events / cow_sec, 1) if cow_sec else None,
         "cpus": CPUS,
     }
     print(json.dumps(out))

@@ -38,6 +38,11 @@ def main(argv: list[str] | None = None) -> int:
         sp = sub.add_parser(name)
         sp.add_argument("--table", required=True)
 
+    rp = sub.add_parser("replay-dlq", help="reprocess retryable dead letters as a batch epoch")
+    rp.add_argument("--table", required=True)
+    rp.add_argument("--epoch", type=int, required=True, help="fresh epoch id for the replay commit")
+    rp.add_argument("--mode", default="mor", choices=["mor", "cow"])
+
     args = p.parse_args(argv)
 
     from .plans.lake import SnapshotTable
@@ -93,6 +98,11 @@ def main(argv: list[str] | None = None) -> int:
 
         for rec in EpochLog(table.root).lineage():
             print(json.dumps(rec))
+    elif args.cmd == "replay-dlq":
+        from .streaming.replay import replay_dlq
+
+        stats = replay_dlq(spark, table, epoch=args.epoch, mode=args.mode)
+        print(json.dumps({k: v for k, v in stats.items() if k != "files"}))
     return 0
 
 

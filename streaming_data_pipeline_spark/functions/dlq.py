@@ -92,18 +92,24 @@ def enrich_dead_letters(
     error_type: str = "ValidationError",
     epoch: int = 0,
     error_message_col: str = "_error_message",
+    keep_content: bool = False,
 ) -> DataFrame:
     """D4 — build the DLQ envelope + analysis columns from the invalid
     split of a microbatch (envelope shape: event_schema.yaml:131-165 +
     analysis: dead_letter_handler.py:90-95)."""
     # original_event carries every field EXCEPT the (potentially large)
-    # content body, which is replaced by its sha256 + length — at code-
-    # repo scale, duplicating file bodies into the DLQ multiplies write
-    # volume for no diagnostic value (the sha ties back to the source).
+    # content body, which is by default replaced by its sha256 + length —
+    # at code-repo scale, duplicating file bodies into the DLQ multiplies
+    # write volume for no diagnostic value (the sha ties back to the
+    # source). ``keep_content=True`` embeds the body too, making the DLQ
+    # self-contained for batch REPLAY (streaming/replay.py) at the cost
+    # of that write volume — a per-pipeline trade.
     data_cols = [
         F.col(c) for c in invalid.columns if c not in (error_message_col, "content")
     ]
     if "content" in invalid.columns:
+        if keep_content:
+            data_cols.append(F.col("content"))
         data_cols += [
             F.sha2(F.col("content"), 256).alias("content_sha"),
             F.length(F.col("content")).alias("content_len"),

@@ -55,6 +55,7 @@ def apply_changes(
     salt_buckets: int = 8,
     stage: str = "consumer_validation",
     cache_batch: bool | None = None,
+    dlq_keep_content: bool = False,
 ) -> dict:
     """Apply one microbatch of change events.
 
@@ -111,7 +112,9 @@ def apply_changes(
             # tasks (measured: serialized every epoch); the shuffle
             # boundary keeps the wide scan parallel and moves only the
             # small invalid split to the writers.
-            dlq = enrich_dead_letters(invalid, stage=stage, epoch=epoch)
+            dlq = enrich_dead_letters(
+                invalid, stage=stage, epoch=epoch, keep_content=dlq_keep_content
+            )
             obs = Observation(f"dlq-{epoch}")
             dest = os.path.join(dlq_path(table.root), f"epoch={epoch}")
             dlq.observe(obs, F.count(F.lit(1)).alias("n")).repartition(4).write.mode(

@@ -1,0 +1,118 @@
+"""DLQ batch replay: reprocess retryable dead letters through the engine.
+
+The reference computes retryability (`_can_retry_event`,
+src/dead_letter_handler.py:145-181) but nothing ever consumes it — its
+DLQ is terminal by design (DESIGN_DOCUMENT.md:174-177). This module is
+the step a real operator takes next: a BATCH job (not a stream — no
+loop back into the pipeline) that
+
+  1. reads the DLQ table and keeps rows with ``can_retry = true`` from
+     source epochs not yet replayed,
+  2. reconstructs change events from the ``original_event`` JSON
+     envelope (self-contained when the pipeline ran with
+     ``dlq_keep_content=True``; otherwise a ``fixer`` must restore the
+     body),
+  3. optionally applies a caller-supplied ``fixer(df) -> df`` that
+     corrects the defect (fill a missing field, re-fetch content, remap
+     an enum),
+  4. re-applies the events through the NORMAL ``apply_changes`` path
+     under a fresh epoch — so they re-validate, and anything still
+     invalid lands back in the DLQ under ``stage='dlq_replay'`` with
+     ``error_type=ValidationError`` ⇒ ``can_retry=false`` ⇒ NO infinite
+     replay loop (the reference's loop-prevention decision, preserved),
+  5. marks the consumed source epochs with an atomic first-writer-wins
+     marker under ``<root>/dlq_replays/`` (a NEW file, never an
+     in-place DLQ rewrite — the DLQ stays an immutable audit log).
+
+Idempotent: markers make a re-run of the same replay a no-op, and the
+apply itself is LWW-idempotent like any epoch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.lake import SnapshotTable, _atomic_write_json
+from ..schemas import CHANGE_EVENT
+from .apply import apply_changes, read_dlq
+
+
+def _replay_dir(table_root: str) -> str:
+    return os.path.join(table_root, "dlq_replays")
+
+
+def replayed_source_epochs(table_root: str) -> set[int]:
+    """Source epochs already consumed by a previous replay run."""
+    d = _replay_dir(table_root)
+    done: set[int] = set()
+    if not os.path.isdir(d):
+        return done
+    for fn in os.listdir(d):
+        if fn.startswith("replay-") and fn.endswith(".json"):
+            with open(os.path.join(d, fn)) as f:
+                done.update(json.load(f).get("source_epochs", []))
+    return done
+
+
+def retryable_dead_letters(spark: SparkSession, table_root: str) -> DataFrame:
+    """The replay candidate set: can_retry rows from unconsumed epochs."""
+    dlq = read_dlq(spark, table_root)
+    done = replayed_source_epochs(table_root)
+    out = dlq.filter(F.col("can_retry"))
+    if done:
+        out = out.filter(~F.col("epoch").isin(*sorted(done)))
+    return out
+
+
+def replay_dlq(
+    spark: SparkSession,
+    table: SnapshotTable,
+    *,
+    epoch: int,
+    fixer=None,
+    mode: str = "mor",
+    salt_buckets: int = 8,
+    dlq_keep_content: bool = False,
+) -> dict:
+    """Reprocess retryable dead letters as one batch epoch. Returns the
+    apply stats plus replay bookkeeping; a no-op (None version) when
+    nothing is eligible. ``epoch`` must be fresh (e.g. max applied + 1);
+    the marker write is first-writer-wins, so two concurrent replays of
+    the same epoch cannot double-consume."""
+    todo = retryable_dead_letters(spark, table.root)
+    # bounded collect: one row per DLQ epoch (epoch count, not data size)
+    src_epochs = sorted(r[0] for r in todo.select("epoch").distinct().collect())
+    if not src_epochs:
+        return {"replayed_rows": 0, "source_epochs": [], "version": None}
+
+    events = todo.select(
+        F.from_json(F.col("original_event"), CHANGE_EVENT).alias("e")
+    ).select("e.*")
+    if fixer is not None:
+        events = fixer(events)
+
+    stats = apply_changes(
+        spark,
+        table,
+        events,
+        epoch=epoch,
+        mode=mode,
+        salt_buckets=salt_buckets,
+        stage="dlq_replay",
+        dlq_keep_content=dlq_keep_content,
+    )
+    marker = {
+        "replay_epoch": epoch,
+        "source_epochs": src_epochs,
+        "rows_applied": stats.get("source_rows", 0),
+        "redlq_rows": stats.get("dlq_rows", 0),
+        "snapshot_version": stats.get("version"),
+    }
+    _atomic_write_json(
+        marker, os.path.join(_replay_dir(table.root), f"replay-{epoch}.json"), exclusive=True
+    )
+    return {**stats, "replayed_rows": marker["rows_applied"], "source_epochs": src_epochs}
