@@ -26,6 +26,8 @@ FAST_QUERIES = [
     "q1_pricing_summary",
     "user_top3_events",
     "dedup_exact",
+    "dedup_ngram_jaccard",  # graded with the DF cap on (r2)
+    "embedding_near_dup",   # graded via the SRP-bucketed LSH path (r2)
     "text_quality",
     "token_stats",
     "multimodal_binary_stats",
