@@ -109,6 +109,15 @@ def main() -> None:
     ]
     timings: dict[str, float] = {}
 
+    # Settle the box first: a preceding heavy run (test suite, another
+    # bench) leaves page-cache writeback + loadavg residue that measured
+    # up to 20x slower on short queries here. Bounded wait, skipped when
+    # the machine is already quiet.
+    os.sync()
+    deadline = time.time() + 120
+    while time.time() < deadline and os.getloadavg()[0] > max(4.0, CPUS / 4):
+        time.sleep(5)
+
     # warm the JVM/codegen on a trivial action so query timings are honest
     spark.range(1000).count()
 
