@@ -311,6 +311,75 @@ class SnapshotTable:
         _atomic_write_json({"v": nv}, os.path.join(self.meta_dir, "version-hint.json"))
         return nv
 
+    def rollback(self, version: int) -> int:
+        """Iceberg-style rollback: publish a NEW snapshot whose manifest
+        is ``version``'s manifest — history is preserved (time travel to
+        the rolled-back-over snapshots still works), and the rollback
+        itself is an auditable commit, not an in-place rewind."""
+        meta = self.metadata()
+        if str(version) not in meta["snapshots"]:
+            raise KeyError(f"no snapshot {version} in {self.root}")
+        target = meta["snapshots"][str(version)]
+        nv = meta["version"] + 1
+        meta["version"] = nv
+        meta["current_snapshot_id"] = nv
+        # schema rolls back with the data: files are read with the schema
+        # they were written under plus by-name reconciliation, so pinning
+        # the old schema keeps later-added columns out of the live view.
+        for entry in meta["schema_log"]:
+            if entry["version"] <= version:
+                meta["schema"] = entry["schema"]
+        meta["snapshots"][str(nv)] = {
+            "manifest": target["manifest"],
+            "epoch": None,
+            "operation": "rollback",
+            "summary": {"to_version": version},
+        }
+        dest = os.path.join(self.meta_dir, f"v{nv}.json")
+        try:
+            _atomic_write_json(meta, dest, exclusive=True)
+        except FileExistsError:
+            raise FileExistsError(f"concurrent commit detected at {dest}") from None
+        _atomic_write_json({"v": nv}, os.path.join(self.meta_dir, "version-hint.json"))
+        return nv
+
+    def changes_between(
+        self, spark: SparkSession, v_from: int, v_to: int | None = None
+    ) -> DataFrame:
+        """Incremental read — the lake's own change feed: rows in data
+        files ADDED after snapshot ``v_from`` up to ``v_to`` (inclusive).
+        Under merge-on-read each epoch's delta files ARE its change rows
+        (tombstones included), so downstream consumers can tail the lake
+        like a CDC source without re-reading the table: the Iceberg
+        incremental-append-scan analog. The snapshot LOG is walked (one
+        consecutive manifest diff per snapshot) rather than diffing the
+        endpoint manifests, so deltas later folded away by compaction
+        still appear in the feed — compaction retires a file from the
+        live view, not from history. Maintenance rewrites (compaction,
+        COW merges) write kind='base' files, which are EXCLUDED — they
+        carry existing rows forward and would duplicate the feed.
+        Horizon: `expire_snapshots` deletes unreferenced data files, so
+        retention bounds how far back the feed reaches (same contract as
+        Iceberg snapshot expiry / Kafka retention)."""
+        v_to = self.current_version() if v_to is None else v_to
+        added: list[dict] = []
+        prev = {e["path"] for e in self.manifest(v_from)}
+        for v in range(v_from + 1, v_to + 1):
+            cur = self.manifest(v)
+            added += [e for e in cur if e["path"] not in prev and e.get("kind") == "delta"]
+            prev = {e["path"] for e in cur}
+        schema = self.schema(v_to)
+        paths = [os.path.join(self.root, e["path"]) for e in added]
+        live = [p for p in paths if os.path.exists(p)]
+        if len(live) != len(paths):
+            raise FileNotFoundError(
+                f"change feed truncated: {len(paths) - len(live)} delta files "
+                f"between v{v_from} and v{v_to} were expired (retention horizon)"
+            )
+        if not live:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*live)
+
     # ---------------- utilities ----------------
 
     def collect_written_files(self, staging: str, kind: str = "base") -> list[dict]:

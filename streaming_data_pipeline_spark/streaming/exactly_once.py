@@ -15,7 +15,7 @@ AFTER the snapshot commit but BEFORE the marker re-applies the epoch —
 and the MERGE is idempotent by construction (LWW on strictly-greater
 lsn: re-applying already-applied changes is a no-op on state), so the
 replayed epoch converges to the identical live state. Both crash
-windows are covered by tests/test_chaos.py.
+windows are covered by tests/test_streaming_resume.py.
 
 The marker doubles as the LINEAGE record: source offset range (input
 files for the file source; topic/partition/offset ranges for Kafka) →

@@ -99,3 +99,15 @@ def test_embedding_near_dup_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q5_six_way_join_broadcasts_dimensions(spark):
+    """The Q5-shape 6-way join keeps every dimension on the broadcast
+    side (no shuffle of customer/supplier/nation/region) and pushes the
+    region/date filters into the scans."""
+    plan = _plan(entrymod.q_q5_local_supplier_volume(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "EqualTo(r_name,ASIA)" in plan or "r_name" in next(
+        l for l in plan.splitlines() if "PushedFilters" in l and "r_name" in l
+    )
+    assert "IsNotNull(o_orderdate)" in plan  # date filter reached the scan
