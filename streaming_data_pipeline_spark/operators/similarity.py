@@ -170,6 +170,7 @@ def ivf_ann_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF-style ANN: a deterministic coarse quantizer (centroids =
     hash-sampled corpus vectors, the 'random restarts' seeding step of
@@ -177,12 +178,16 @@ def ivf_ann_topk(
     vector to its nearest cell; queries probe their ``n_probe`` nearest
     cells and re-rank candidates by exact cosine.
 
+    ``refine_iters`` runs that many Lloyd iterations on the seeds:
+    assign → per-cell mean → renormalize. Each iteration is one
+    (assign, groupBy-avg) aggregation pair whose result is n_cells
+    rows — a bounded collect — so refinement cost is O(iters · corpus)
+    map work, no extra wide shuffles.
+
     Plan shape at scale: centroids are tiny (n_cells rows, collected
-    once and broadcast via the crossJoin literal); cell assignment is a
-    map-only pass; the candidate join is cell-equi, so the corpus
-    shuffles once on a small int key. Lloyd refinement iterations are a
-    straightforward loop over (assign → mean) aggregations if tighter
-    cells are needed."""
+    once and inlined as a literal array, the broadcast analog); cell
+    assignment is a map-only pass; the candidate join is cell-equi, so
+    the corpus shuffles once on a small int key."""
     cu = with_unit_vectors(corpus, vec_col)
     qu = with_unit_vectors(queries, vec_col)
 
@@ -190,18 +195,45 @@ def ivf_ann_topk(
         cu.withColumn("_h", F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(997)))
         .orderBy("_h", id_col)
         .limit(n_cells)
-        .select(F.col(id_col).alias("cell_src"), F.col("_unit").alias("cvec"))
+        .select(F.col("_unit").alias("cvec"))
         .collect()
     )
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("cell"),
-                F.array(*[F.lit(float(x)) for x in row["cvec"]]).alias("cvec"),
-            )
-            for i, row in enumerate(cents)
-        ]
-    )
+    centroids = [list(row["cvec"]) for row in cents]
+
+    def _cent_arr(cent_list):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("cell"),
+                    F.array(*[F.lit(float(x)) for x in vec]).alias("cvec"),
+                )
+                for i, vec in enumerate(cent_list)
+            ]
+        )
+
+    for _ in range(refine_iters):
+        arr = _cent_arr(centroids)
+        scored = F.transform(
+            arr, lambda c: F.struct(_dot(F.col("_unit"), c["cvec"]).alias("sim"), c["cell"].alias("cell"))
+        )
+        assigned = cu.select(
+            F.element_at(F.reverse(F.array_sort(scored)), 1)["cell"].alias("cell"),
+            F.col("_unit").alias("u"),
+        )
+        dim_len = len(centroids[0])
+        means = (
+            assigned.groupBy("cell")
+            .agg(*[F.avg(F.element_at(F.col("u"), j + 1)).alias(f"m{j}") for j in range(dim_len)])
+            .collect()
+        )  # bounded: n_cells rows
+        new_cents = list(centroids)
+        for row in means:
+            v = [row[f"m{j}"] for j in range(dim_len)]
+            norm = sum(x * x for x in v) ** 0.5 or 1.0
+            new_cents[row["cell"]] = [x / norm for x in v]
+        centroids = new_cents
+
+    cent_arr = _cent_arr(centroids)
 
     def nearest_cells(unit_col, n: int):
         scored = F.transform(

@@ -103,3 +103,29 @@ def test_ivf_partial_probe_recall_floor(spark):
         for r in similarity.ivf_ann_topk(emb, q, k=5, n_cells=16, n_probe=10).collect()
     }
     assert len(exact & got) / len(exact) >= 0.6
+
+
+def test_ivf_lloyd_refinement(spark):
+    """Lloyd refinement is deterministic and preserves the exactness
+    contract: probing ALL cells equals exact top-k regardless of how
+    the centroids moved; refined partial-probe recall stays at or above
+    the unrefined floor on the driver embeddings."""
+    import pyspark.sql.functions as F
+
+    from streaming_data_pipeline_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in similarity.cosine_topk(emb, q, k=5).collect()}
+
+    all_probe = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_ann_topk(emb, q, k=5, n_cells=8, n_probe=8, refine_iters=2).collect()
+    }
+    assert all_probe == exact
+
+    a = similarity.ivf_ann_topk(emb, q, k=5, n_cells=16, n_probe=10, refine_iters=2).collect()
+    b = similarity.ivf_ann_topk(emb, q, k=5, n_cells=16, n_probe=10, refine_iters=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    refined = {(r["query_id"], r["neighbor_id"]) for r in a}
+    assert len(exact & refined) / len(exact) >= 0.6
