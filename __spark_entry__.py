@@ -330,8 +330,18 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-def q_dedup_minhash_lsh(spark, sf_dir):  # Spark-only (hash-based)
+def q_dedup_minhash_lsh(spark, sf_dir):  # Spark-only (xxhash64-based fast path)
     return dedup_text.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def q_dedup_minhash_lsh_sha(spark, sf_dir):
+    """Engine-portable MinHash-LSH: sha256-prefix permutations let DuckDB
+    compute the identical signatures, band buckets and surviving pairs —
+    the full LSH pipeline (not just the verified output) is
+    oracle-checked end to end."""
+    return dedup_text.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5, hash_fn="sha"
+    )
 
 
 def q_dedup_simhash(spark, sf_dir):  # Spark-only (hash-based)
@@ -478,6 +488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_minhash_lsh_sha": q_dedup_minhash_lsh_sha,
         "dedup_simhash": q_dedup_simhash,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -705,6 +716,47 @@ def oracle_sql() -> dict[str, str]:
               JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
             SELECT doc_a, doc_b, n_inter,
+                   round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5
+        """,
+        "dedup_minhash_lsh_sha": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, s AS shingle FROM toks,
+              UNNEST(CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                          ELSE [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                FOR i IN generate_series(1, len(t) - 2)] END) AS u(s)
+              WHERE s <> ''),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            mh AS (
+              SELECT doc_id,
+                     """ + ",\n                     ".join(
+                         f"min(substr(sha256('{i}|' || shingle), 1, 16)) AS mh_{i}"
+                         for i in range(32)
+                     ) + """
+              FROM sh GROUP BY doc_id),
+            buckets AS (
+              """ + "\n              UNION ALL ".join(
+                "SELECT doc_id, %d AS band, mh_%d || '|' || mh_%d || '|' || mh_%d || '|' || mh_%d AS bucket FROM mh"
+                % (b, 4 * b, 4 * b + 1, 4 * b + 2, 4 * b + 3)
+                for b in range(8)
+            ) + """),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+              FROM buckets x JOIN buckets y
+                ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+            inter AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
                    round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
             FROM inter
             JOIN sizes sa ON sa.doc_id = doc_a

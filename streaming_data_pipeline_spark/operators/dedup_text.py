@@ -143,6 +143,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash + LSH banding: docs sharing any band bucket become
     candidates; candidates are verified with exact Jaccard (no false
@@ -151,7 +152,13 @@ def minhash_lsh_pairs(
     Verification joins each candidate pair to the two docs' distinct-
     shingle ARRAYS and scores with array_intersect/array_union —
     proportional to candidate count, not to the corpus-wide inverted
-    index (candidates are the rare case by construction)."""
+    index (candidates are the rare case by construction).
+
+    ``hash_fn``: 'xxhash64' (default — the fast JVM hash) or 'sha'
+    (sha256-prefix permutations, engine-portable: DuckDB computes the
+    identical signatures, making the WHOLE pipeline — signatures, band
+    buckets, surviving pairs — oracle-checkable end to end; ~3× slower,
+    so the fast path stays default)."""
     assert k % bands == 0
     r = k // bands
     base = _spread(df).select(
@@ -159,15 +166,32 @@ def minhash_lsh_pairs(
     ).filter(F.size("sh_set") > 0)
     sets = base
     sh = base.select("doc_id", F.explode("sh_set").alias("shingle"))
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(seed + i))).alias(f"mh_{i}")
-        for i in range(k)
-    ]
+    if hash_fn == "sha":
+        mins = [
+            F.min(
+                F.substring(F.sha2(F.concat(F.lit(f"{i}|"), F.col("shingle")), 256), 1, 16)
+            ).alias(f"mh_{i}")
+            for i in range(k)
+        ]
+    else:
+        mins = [
+            F.min(F.xxhash64(F.col("shingle"), F.lit(seed + i))).alias(f"mh_{i}")
+            for i in range(k)
+        ]
     sig = sh.groupBy("doc_id").agg(*mins)
-    band_cols = [
-        F.struct(F.lit(b).alias("band"), F.xxhash64(*[F.col(f"mh_{b * r + j}") for j in range(r)]).alias("bucket"))
-        for b in range(bands)
-    ]
+    if hash_fn == "sha":
+        band_cols = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("|", *[F.col(f"mh_{b * r + j}") for j in range(r)]).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    else:
+        band_cols = [
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*[F.col(f"mh_{b * r + j}") for j in range(r)]).alias("bucket"))
+            for b in range(bands)
+        ]
     buckets = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))

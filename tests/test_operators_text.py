@@ -212,3 +212,17 @@ def test_embedding_near_dup_lsh_equals_exact(spark):
         for r in similarity.near_dup_pairs_lsh(emb, threshold=0.45).collect()
     }
     assert lsh == exact and len(exact) > 0
+
+
+def test_minhash_sha_variant_matches_fast_path_on_dups(spark):
+    """The engine-portable sha-permutation variant finds the same
+    certain pairs (identical docs collide in every band under ANY
+    permutation family) and, like the fast path, emits no false
+    positives (exact-Jaccard verify)."""
+    fast = {(r["doc_a"], r["doc_b"]) for r in dedup_text.minhash_lsh_pairs(_docs(spark), threshold=0.5).collect()}
+    sha = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_text.minhash_lsh_pairs(_docs(spark), threshold=0.5, hash_fn="sha").collect()
+    }
+    assert {(0, 1), (0, 4), (1, 4)} <= sha
+    assert sha == fast  # same corpus, same verified-threshold semantics
