@@ -81,8 +81,11 @@ def apply_changes(
     # The flagged frame feeds three jobs (DLQ write, payload-key agg,
     # dedup+apply). Caching trades one columnar materialization of the
     # wide batch against re-scanning the (columnar, pushdown-friendly)
-    # source — a wash for parquet/Kafka sources, a win for expensive
-    # sources. Default: cache only when the input is NOT a file scan.
+    # source — re-measured r2 with interleaved repeats at 1M events on
+    # local[32]: cache LOST every pair (75-101k vs 109-130k ev/s); the
+    # materialization write beats the extra scans only for expensive
+    # non-columnar sources. Default: cache only when the input is NOT a
+    # file scan.
     if cache_batch is None:
         try:
             cache_batch = not raw.isStreaming and not raw.inputFiles()
