@@ -128,8 +128,12 @@ def main() -> None:
     while time.time() < deadline and os.getloadavg()[0] > max(4.0, CPUS / 4):
         time.sleep(5)
 
-    # warm the JVM/codegen on a trivial action so query timings are honest
+    # warm the JVM/codegen: a trivial action, then the flagship at the
+    # smallest sf (~2s) so the timed sf0.1 run measures the sustained
+    # pipeline, not first-compilation of its plan shapes (measured: the
+    # cold first flagship call is 3-4x its warm time on identical code)
     spark.range(1000).count()
+    qs["cdc_final_state"](spark, "/root/testdata/sf0.001").count()
 
     for name in headline:
         t0 = time.time()
