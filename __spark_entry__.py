@@ -377,7 +377,11 @@ def q_multimodal_binary_stats(spark, sf_dir):
     return multimodal.binary_stats(docs)
 
 
-def q_multimodal_decode(spark, sf_dir):  # Spark-only (pandas-UDF decode stub)
+def q_multimodal_decode(spark, sf_dir):
+    """Arrow-batched mapInPandas decode. The stub codec is deterministic
+    arithmetic over byte length, so DuckDB replicates the full output —
+    the oracle hash-verifies the pandas-UDF plumbing (schema, batching,
+    row alignment), which is exactly what a real codec would reuse."""
     docs = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
     return multimodal.extract_media_metadata(docs)
 
@@ -813,6 +817,21 @@ def oracle_sql() -> dict[str, str]:
                    ['image','audio','video'][(doc_id % 3) + 1] AS media_type,
                    octet_length(encode(text))::BIGINT AS byte_len,
                    sha256(text) AS sha
+            FROM documents
+        """,
+        "multimodal_decode": """
+            SELECT doc_id,
+                   ['image','audio','video'][(doc_id % 3) + 1] AS media_type,
+                   octet_length(encode(text))::BIGINT AS byte_len,
+                   sha256(text) AS sha,
+                   (CASE WHEN doc_id % 3 = 0
+                         THEN 64 + octet_length(encode(text)) % 512 END)::INTEGER AS width,
+                   (CASE WHEN doc_id % 3 = 0
+                         THEN 64 + (octet_length(encode(text)) // 7) % 512 END)::INTEGER AS height,
+                   (CASE WHEN doc_id % 3 <> 0
+                         THEN 1000 + octet_length(encode(text)) % 60000 END)::BIGINT AS duration_ms,
+                   true AS decode_ok,
+                   CAST(NULL AS VARCHAR) AS decode_error
             FROM documents
         """,
         "windowed_change_rates": f"""
