@@ -82,33 +82,6 @@ def cosine_topk(
     )
 
 
-def srp_signature(vec, dim: int, n_bits: int = 16, seed: int = 42):
-    """Signed-random-projection signature: bit b = sign(<v, h_b>) where
-    h_b is a deterministic ±1 hyperplane derived from xxhash64(b, j).
-    Pure column expressions — the 'random' planes are hash-derived, so
-    executors recompute them identically with no broadcast state."""
-    bits = []
-    for b in range(n_bits):
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, j: x
-                * F.when(
-                    F.pmod(F.xxhash64(j.cast("long"), F.lit(seed + b)), F.lit(2)) == 0,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0)),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bits.append(F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0)))
-    sig = bits[0]
-    for x in bits[1:]:
-        sig = sig.bitwiseOR(x)
-    return sig
-
-
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -86,3 +86,41 @@ def test_batch_vs_streaming_equivalence(spark, tmp_path, wal_dir):
     a = t_batch.current_state(spark).select("repo", "path", "lsn", F.sha2("content", 256))
     b = t_stream.current_state(spark).select("repo", "path", "lsn", F.sha2("content", 256))
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_processing_time_soak_trigger(spark, tmp_path, wal_dir):
+    """The soak path (processingTime trigger) applies epochs continuously
+    and picks up NEW WAL files appended while the query runs — the
+    long-running-tailer mode, vs availableNow's drain-and-stop."""
+    import time
+
+    t = SnapshotTable.create(str(tmp_path / "l6"), LAKE_BASE, n_buckets=8)
+    q = start_cdc_stream(
+        spark, t, wal_dir, str(tmp_path / "cp6"),
+        processing_time="500 milliseconds", compact_every=None,
+    )
+    try:
+        log = EpochLog(t.root)
+        deadline = time.time() + 60
+        while time.time() < deadline and not log.epochs():
+            time.sleep(0.5)
+        assert log.epochs(), "no epoch applied within 60s of soak start"
+        n0 = t.current_state(spark).count()
+
+        # append new change files while the query is live
+        spark.createDataFrame(
+            [("insert", "soak/repo", "live.py", "c9", "python", "x = 9", 10**9, None, None)],
+            "op string, repo string, path string, commit string, lang string, "
+            "content string, lsn long, ts timestamp, payload map<string,string>",
+        ).write.mode("append").parquet(wal_dir)
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            live = t.current_state(spark).filter(F.col("repo") == "soak/repo").count()
+            if live:
+                break
+            time.sleep(0.5)
+        assert live == 1, "appended WAL file not picked up by the soak trigger"
+        assert t.current_state(spark).count() == n0 + 1
+    finally:
+        q.stop()
