@@ -101,3 +101,28 @@ def test_sessionization_batch(spark):
     # gaps: 0-2min contiguous; 30-31; 59 → three sessions
     assert r1 == [(1, 5), (2, 4), (3, 2)]
     assert out.filter(F.col("repo") == "r2").count() == 1
+
+
+def test_cow_and_mor_agree_on_lsn_tie(spark, tmp_path):
+    """ADVICE r1: on an lsn tie the two apply modes must pick the same
+    winner — lexicographic (lsn, commit). Two events for the same key,
+    same lsn, different commit, delivered across epochs in both orders:
+    final state must be identical in both modes, keeping max commit."""
+    import pyspark.sql.functions as F
+
+    from streaming_data_pipeline_spark.plans.lake import SnapshotTable
+    from streaming_data_pipeline_spark.schemas import CHANGE_EVENT, LAKE_BASE
+    from streaming_data_pipeline_spark.streaming.apply import apply_changes
+
+    def ev(commit, content):
+        return ("insert", "r", "tie.py", commit, "python", content, 7, None, None)
+
+    for mode in ("mor", "cow"):
+        for order, first, second in (("fwd", "c_aa", "c_zz"), ("rev", "c_zz", "c_aa")):
+            t = SnapshotTable.create(
+                str(tmp_path / f"{mode}_{order}"), LAKE_BASE, n_buckets=2
+            )
+            apply_changes(spark, t, spark.createDataFrame([ev(first, first)], CHANGE_EVENT), 0, mode=mode)
+            apply_changes(spark, t, spark.createDataFrame([ev(second, second)], CHANGE_EVENT), 1, mode=mode)
+            row = t.current_state(spark).filter(F.col("path") == "tie.py").collect()[0]
+            assert (row["commit"], row["content"]) == ("c_zz", "c_zz"), (mode, order, row)
