@@ -38,6 +38,10 @@ def main(argv: list[str] | None = None) -> int:
         sp = sub.add_parser(name)
         sp.add_argument("--table", required=True)
 
+    rb = sub.add_parser("rebucket", help="rewrite the table into a new bucket modulus")
+    rb.add_argument("--table", required=True)
+    rb.add_argument("--n-buckets", type=int, required=True, dest="new_buckets")
+
     rp = sub.add_parser("replay-dlq", help="reprocess retryable dead letters as a batch epoch")
     rp.add_argument("--table", required=True)
     rp.add_argument("--epoch", type=int, required=True, help="fresh epoch id for the replay commit")
@@ -98,6 +102,11 @@ def main(argv: list[str] | None = None) -> int:
 
         for rec in EpochLog(table.root).lineage():
             print(json.dumps(rec))
+    elif args.cmd == "rebucket":
+        from .plans.maintenance import rebucket
+
+        v = rebucket(spark, table, args.new_buckets)
+        print(json.dumps({"version": v, "n_buckets": args.new_buckets}))
     elif args.cmd == "replay-dlq":
         from .streaming.replay import replay_dlq
 

@@ -259,15 +259,29 @@ class SnapshotTable:
         operation: str = "merge",
         summary: dict | None = None,
         column_renames: dict[str, str] | None = None,
+        n_buckets: int | None = None,
     ) -> int:
         """Atomically publish snapshot v+1 = (old manifest − replaced
-        buckets) ∪ new_files. Returns the new version id."""
+        buckets) ∪ new_files. Returns the new version id.
+
+        ``n_buckets`` changes the table's bucket layout in the SAME
+        commit (partition-spec evolution) — only valid when every
+        existing bucket is replaced, since old files' bucket ids are
+        meaningless under the new modulus."""
         v = self.current_version()
         meta = self.metadata(v)
         if column_renames:
             merged = dict(meta.get("column_renames", {}))
             merged.update(column_renames)
             meta["column_renames"] = merged
+        if n_buckets is not None and n_buckets != meta["n_buckets"]:
+            leftover = {e["bucket"] for e in self.manifest(v)} - set(replaced_buckets)
+            if leftover:
+                raise ValueError(
+                    f"bucket-layout change requires replacing ALL buckets; "
+                    f"{len(leftover)} carried over"
+                )
+            meta["n_buckets"] = n_buckets
         carried = [e for e in self.manifest(v) if e["bucket"] not in replaced_buckets]
         files = carried + new_files
         nv = v + 1

@@ -89,6 +89,42 @@ def purge_tombstones(spark: SparkSession, table: SnapshotTable, lsn_horizon: int
     return _rewrite_buckets(spark, table, buckets, df_filter=keep, operation="purge_tombstones")
 
 
+def rebucket(spark: SparkSession, table: SnapshotTable, new_n_buckets: int) -> int:
+    """Partition-spec evolution: rewrite the whole table into a new
+    bucket modulus in ONE snapshot (state-preserving — rows are
+    LWW-resolved with tombstones retained, exactly like compaction).
+    The operational lever for a table that outgrew its create-time
+    bucket count: at 100 TB you raise n_buckets so a microbatch keeps
+    touching a small fraction of buckets and files stay executor-sized.
+    Readers of OLD snapshots still prune correctly (each manifest entry
+    carries the bucket id it was written under, and metadata is
+    versioned — `table.metadata(v)["n_buckets"]` gives the modulus in
+    effect at v for anyone computing bucket ids against a time-travel
+    read); readers of the new snapshot and all future applies use the
+    new modulus from current metadata."""
+    old_buckets = {e["bucket"] for e in table.manifest()}
+    df = table.read(spark, resolved=True)
+    nv = table.current_version() + 1
+    staging = table.staging_dir(nv)
+    bucket = F.pmod(F.xxhash64(F.col("repo"), F.col("path")), F.lit(new_n_buckets))
+    (
+        df.withColumn("_bucket", bucket)
+        .repartition(F.col("_bucket"))
+        .sortWithinPartitions("_bucket", "repo", "path")
+        .write.mode("overwrite")
+        .partitionBy("_bucket")
+        .parquet(staging)
+    )
+    new_files = table.collect_written_files(staging, kind="base")
+    return table.commit(
+        new_files=new_files,
+        replaced_buckets=old_buckets,
+        operation="rebucket",
+        summary={"n_buckets": new_n_buckets, "from": len(old_buckets)},
+        n_buckets=new_n_buckets,
+    )
+
+
 def expire_snapshots(table: SnapshotTable, keep_last: int = 2) -> list[str]:
     """Delete data files referenced only by expired snapshots; prune the
     snapshot log. Returns the deleted file paths. Metadata files are

@@ -78,3 +78,44 @@ def test_changes_between_is_the_change_feed(spark, tmp_path):
     assert {(r["path"], r["lsn"]) for r in table.changes_between(spark, v1, v3).collect()} == {
         ("a.py", 3), ("b.py", 4), ("c.py", 5)
     }
+
+
+def test_rebucket_partition_evolution(spark, tmp_path):
+    """Rebucketing preserves state bit-for-bit, switches the modulus for
+    future applies and lookups, and keeps old snapshots readable."""
+    from streaming_data_pipeline_spark.plans.maintenance import rebucket
+
+    table = SnapshotTable.create(str(tmp_path / "rb"), LAKE_BASE, n_buckets=4)
+    apply_changes(
+        spark, table,
+        _batch(spark, [_ev("insert", f"f{i}.py", i + 1) for i in range(40)] + [_ev("delete", "f0.py", 100)]),
+        0,
+    )
+    h = table.state_hash(spark)
+    v_old = table.current_version()
+
+    rebucket(spark, table, 16)
+    assert table.n_buckets == 16
+    assert table.state_hash(spark) == h                      # state preserved
+    assert {e["bucket"] for e in table.manifest()} <= set(range(16))
+    assert len({e["bucket"] for e in table.manifest()}) > 4  # actually spread
+    assert table.read(spark, version=v_old).count() > 0      # time travel intact
+
+    # tombstone survived the rewrite (resurrection still blocked)
+    apply_changes(spark, table, _batch(spark, [_ev("update", "f0.py", 50, "stale")]), 1)
+    assert table.current_state(spark).filter(F.col("path") == "f0.py").count() == 0
+
+    # point lookup prunes under the NEW modulus and still finds the key
+    got = table.lookup(spark, "r", "f7.py").collect()
+    assert len(got) == 1 and got[0]["lsn"] == 8
+
+
+def test_bucket_change_requires_full_rewrite(spark, tmp_path):
+    """Changing n_buckets while carrying old-modulus files is refused —
+    stale bucket ids under a new modulus would corrupt pruning."""
+    import pytest
+
+    table = SnapshotTable.create(str(tmp_path / "rb2"), LAKE_BASE, n_buckets=4)
+    apply_changes(spark, table, _batch(spark, [_ev("insert", "a.py", 1)]), 0)
+    with pytest.raises(ValueError, match="ALL buckets"):
+        table.commit(new_files=[], replaced_buckets=set(), n_buckets=8)
