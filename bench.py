@@ -32,6 +32,34 @@ N_CDC_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "1000000"))
 N_CDC_EPOCHS = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "4"))
 
 
+def run_cdc_stream(spark, wal_dir: str, tmp: str) -> tuple[float, int]:
+    """Tailer-mode throughput: the SAME change stream consumed through
+    Structured Streaming (readStream -> foreachBatch -> run_epoch), so
+    the number includes checkpoint WAL writes, epoch markers/lineage and
+    commit overhead — the north-rule metric is the tailer, not a bare
+    batch loop. availableNow drains the backlog in microbatches."""
+    from streaming_data_pipeline_spark.plans.lake import SnapshotTable
+    from streaming_data_pipeline_spark.plans.maintenance import compact
+    from streaming_data_pipeline_spark.schemas import LAKE_BASE
+    from streaming_data_pipeline_spark.streaming.exactly_once import EpochLog
+    from streaming_data_pipeline_spark.streaming.stream import replay_to_drain
+
+    files = len([f for f in os.listdir(wal_dir) if f.endswith(".parquet")])
+    table = SnapshotTable.create(f"{tmp}/lake_stream", LAKE_BASE, n_buckets=max(CPUS, 16))
+    t0 = time.time()
+    replay_to_drain(
+        spark, table, wal_dir, f"{tmp}/ckpt_stream",
+        max_files_per_trigger=max(files // N_CDC_EPOCHS, 1), compact_every=None,
+    )
+    compact(spark, table, max_files_per_bucket=1)
+    dt = time.time() - t0
+    n = sum(
+        rec.get("summary", {}).get("source_rows", 0)
+        for rec in EpochLog(table.root).lineage()
+    )
+    return dt, n
+
+
 def run_cdc_apply(spark, mode: str = "mor") -> tuple[float, int]:
     """Full-pipeline apply of a change stream (validate → DLQ → evolve →
     apply). ``mode='mor'`` appends bucketed deltas + one final
@@ -150,6 +178,27 @@ def main() -> None:
     cow_sec, cow_events = run_cdc_apply(spark, mode="cow")
     timings["cdc_apply_pipeline_cow"] = round(cow_sec, 3)
 
+    # tailer mode over the same generated stream (checkpoint + markers in
+    # the timed window)
+    os.sync()
+    time.sleep(5)
+    stream_tmp = tempfile.mkdtemp(prefix="sdp_bench_stream_")
+    try:
+        from streaming_data_pipeline_spark.schemas import CHANGE_EVENT
+        from streaming_data_pipeline_spark.sources.changegen import generate_changes
+
+        wal = f"{stream_tmp}/wal"
+        generate_changes(
+            spark, N_CDC_EVENTS, seed=42, n_repos=2000, paths_per_repo=500,
+            events_per_epoch=N_CDC_EVENTS // N_CDC_EPOCHS, invalid_ratio=0.05,
+            duplicate_ratio=0.02, out_of_order_ratio=0.05, delete_ratio=0.05,
+            content_repeat=2, evolve_payload_at_epoch=2, partitions=CPUS * 2,
+        ).drop("epoch").write.mode("overwrite").parquet(wal)
+        stream_sec, stream_events = run_cdc_stream(spark, wal, stream_tmp)
+        timings["cdc_stream_pipeline"] = round(stream_sec, 3)
+    finally:
+        shutil.rmtree(stream_tmp, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_plus_cdc_apply_total",
@@ -160,6 +209,8 @@ def main() -> None:
         "cdc_apply_events": cdc_events,
         "cdc_apply_events_per_sec": round(cdc_events / cdc_sec, 1) if cdc_sec else None,
         "cdc_apply_cow_events_per_sec": round(cow_events / cow_sec, 1) if cow_sec else None,
+        "cdc_stream_events": stream_events,
+        "cdc_stream_events_per_sec": round(stream_events / stream_sec, 1) if stream_sec else None,
         "cpus": CPUS,
     }
     print(json.dumps(out))
