@@ -96,8 +96,8 @@ def append_delta(
         F.count(F.lit(1)).alias("rows_out"),
         F.sum(F.col("_deleted").cast("long")).alias("tombstones"),
     )
-    nv = table.current_version() + 1
-    staging = table.staging_dir(nv)
+    # writer-unique staging: concurrent appenders must not share a dir
+    staging = table.new_staging_dir(f"delta-e{epoch}")
     (
         src.repartition(F.col("_bucket"))
         .sortWithinPartitions("_bucket", *LAKE_KEY)
@@ -122,15 +122,26 @@ def append_delta(
         "touched_buckets": sorted({f["bucket"] for f in new_files}),
         "files_written": len(new_files),
     }
-    ver = table.commit(
-        new_files=new_files,
-        replaced_buckets=set(),
-        schema=lake_schema,
-        epoch=epoch,
-        operation="append_delta",
-        summary=summary,
-        column_renames=column_renames,
-    )
+    # optimistic concurrency (the Iceberg commit model): a delta append
+    # replaces no buckets, so losing the version race is ALWAYS safe to
+    # retry — commit() recomputes carried files from the winner's
+    # manifest. (COW merge_into deliberately does NOT retry: its join
+    # read a now-stale snapshot, so a conflict there must surface.)
+    for attempt in range(5):
+        try:
+            ver = table.commit(
+                new_files=new_files,
+                replaced_buckets=set(),
+                schema=lake_schema,
+                epoch=epoch,
+                operation="append_delta",
+                summary=summary,
+                column_renames=column_renames,
+            )
+            break
+        except FileExistsError:
+            if attempt == 4:
+                raise
     return {"version": ver, "files": new_files, **summary}
 
 

@@ -249,6 +249,17 @@ class SnapshotTable:
     def staging_dir(self, version: int) -> str:
         return os.path.join(self.data_dir, f"snap-{version}")
 
+    def new_staging_dir(self, tag: str = "stage") -> str:
+        """Writer-unique staging dir: concurrent writers must never share
+        a staging path (the commit decides who wins; the data files just
+        need distinct homes). A crashed attempt leaves an orphan dir —
+        reclaimed by maintenance.remove_orphan_files."""
+        import uuid
+
+        d = os.path.join(self.data_dir, f"{tag}-{uuid.uuid4().hex[:12]}")
+        os.makedirs(d, exist_ok=True)
+        return d
+
     def commit(
         self,
         *,
@@ -306,8 +317,19 @@ class SnapshotTable:
         if schema is not None:
             new_schema = json.loads(schema.json())
             if new_schema != meta["schema"]:
-                meta["schema"] = new_schema
-                meta["schema_log"].append({"version": nv, "schema": new_schema})
+                # union-by-name, never replace: a concurrent/stale writer
+                # that hasn't seen another writer's promoted columns must
+                # not roll them back. Promoted columns are nullable, so
+                # widening is always safe; narrowing never happens via
+                # commit (rollback handles that explicitly).
+                have = {f["name"] for f in meta["schema"]["fields"]}
+                merged_fields = meta["schema"]["fields"] + [
+                    f for f in new_schema["fields"] if f["name"] not in have
+                ]
+                merged = {**meta["schema"], "fields": merged_fields}
+                if merged != meta["schema"]:
+                    meta["schema"] = merged
+                    meta["schema_log"].append({"version": nv, "schema": merged})
         meta["snapshots"][str(nv)] = {
             "manifest": man_name,
             "epoch": epoch,

@@ -89,6 +89,40 @@ def purge_tombstones(spark: SparkSession, table: SnapshotTable, lsn_horizon: int
     return _rewrite_buckets(spark, table, buckets, df_filter=keep, operation="purge_tombstones")
 
 
+def remove_orphan_files(table: SnapshotTable) -> list[str]:
+    """Delete data files referenced by NO manifest (Iceberg
+    `remove_orphan_files` analog): crashed or commit-losing writers
+    leave fully-written staging dirs behind — their files were never
+    published, so they are garbage the moment the writer is gone. Run
+    only when no writer is mid-commit (on a real deployment, gate by
+    file age the way Iceberg defaults to >3 days)."""
+    import json as _json
+
+    referenced: set[str] = set()
+    for fn in os.listdir(table.meta_dir):
+        if fn.startswith("manifest-") and fn.endswith(".json"):
+            with open(os.path.join(table.meta_dir, fn)) as f:
+                referenced |= {e["path"] for e in _json.load(f)["files"]}
+    deleted: list[str] = []
+    for dirpath, _dirs, files in os.walk(table.data_dir, topdown=False):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, table.root)
+                if rel not in referenced:
+                    os.unlink(full)
+                    deleted.append(rel)
+        # sidecars (_SUCCESS, Hadoop .crc) go once no data file remains
+        if not any(p.endswith(".parquet") for p in os.listdir(dirpath)):
+            for fn in os.listdir(dirpath):
+                p = os.path.join(dirpath, fn)
+                if os.path.isfile(p):
+                    os.unlink(p)
+        if not os.listdir(dirpath):
+            os.rmdir(dirpath)
+    return sorted(deleted)
+
+
 def rebucket(spark: SparkSession, table: SnapshotTable, new_n_buckets: int) -> int:
     """Partition-spec evolution: rewrite the whole table into a new
     bucket modulus in ONE snapshot (state-preserving — rows are

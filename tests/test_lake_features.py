@@ -119,3 +119,65 @@ def test_bucket_change_requires_full_rewrite(spark, tmp_path):
     apply_changes(spark, table, _batch(spark, [_ev("insert", "a.py", 1)]), 0)
     with pytest.raises(ValueError, match="ALL buckets"):
         table.commit(new_files=[], replaced_buckets=set(), n_buckets=8)
+
+
+def test_concurrent_appenders_optimistic_retry(spark, tmp_path):
+    """Two MOR appenders racing on the same table: unique staging dirs +
+    commit retry mean BOTH land (the Iceberg optimistic-commit model);
+    no delta is lost and the resolved state sees both keys."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from streaming_data_pipeline_spark.operators.merge import append_delta
+
+    table = SnapshotTable.create(str(tmp_path / "cc"), LAKE_BASE, n_buckets=4)
+
+    def append(tag, lsn):
+        df = _batch(spark, [_ev("insert", f"{tag}.py", lsn)])
+        return append_delta(spark, table, df, epoch=lsn)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f1 = pool.submit(append, "left", 1)
+        f2 = pool.submit(append, "right", 2)
+        r1, r2 = f1.result(), f2.result()
+    assert {r1["version"], r2["version"]} == {1, 2}  # both committed
+    paths = {r["path"] for r in table.current_state(spark).collect()}
+    assert paths == {"left.py", "right.py"}
+
+
+def test_stale_writer_cannot_roll_back_schema(spark, tmp_path):
+    """Schema evolution is union-by-name at commit: a writer that never
+    saw another writer's promoted column re-commits its older schema
+    without erasing the newer column."""
+    import pyspark.sql.types as T
+
+    from streaming_data_pipeline_spark.operators.merge import append_delta
+
+    table = SnapshotTable.create(str(tmp_path / "sw"), LAKE_BASE, n_buckets=4)
+    evolved = T.StructType(list(LAKE_BASE.fields) + [T.StructField("stars", T.StringType(), True)])
+    append_delta(spark, table, _batch(spark, [_ev("insert", "a.py", 1)]), epoch=0, new_schema=evolved)
+    assert "stars" in [f.name for f in table.schema().fields]
+    # stale writer commits with the ORIGINAL schema
+    append_delta(spark, table, _batch(spark, [_ev("insert", "b.py", 2)]), epoch=1, new_schema=LAKE_BASE)
+    assert "stars" in [f.name for f in table.schema().fields]
+
+
+def test_remove_orphan_files(spark, tmp_path):
+    """Files written by a crashed/losing writer (staged, never committed)
+    are reclaimed; committed files survive."""
+    import os
+
+    from streaming_data_pipeline_spark.plans.maintenance import remove_orphan_files
+
+    table = SnapshotTable.create(str(tmp_path / "of"), LAKE_BASE, n_buckets=4)
+    apply_changes(spark, table, _batch(spark, [_ev("insert", "a.py", 1)]), 0)
+    h = table.state_hash(spark)
+
+    # simulate a crashed writer: fully-written staging, no commit
+    orphan_dir = table.new_staging_dir("delta-crashed")
+    _batch(spark, [_ev("insert", "ghost.py", 9)]).write.mode("overwrite").parquet(orphan_dir)
+    assert any(f.endswith(".parquet") for f in os.listdir(orphan_dir))
+
+    deleted = remove_orphan_files(table)
+    assert deleted and all("delta-crashed" in p or "stage" in p for p in deleted)
+    assert not os.path.exists(orphan_dir)
+    assert table.state_hash(spark) == h  # committed data untouched
