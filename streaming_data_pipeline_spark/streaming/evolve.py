@@ -10,6 +10,13 @@ to real (string-typed) table columns in the SAME atomic commit as the
 data. Old rows read the new column as null (by-name Parquet
 reconciliation in plans/lake.py).
 
+Promoted columns are deliberately STRING-typed, not inferred like the
+reference's first-non-null typing: plain-Parquet by-name reconciliation
+cannot widen a column's physical type later (a long column read under a
+double/string schema fails in the vectorized reader), so an early wrong
+guess would wedge the table. Typed promotion belongs to a catalog with
+widening-aware readers (real Iceberg); consumers cast at read time.
+
 Rename heuristic (OFF by default — opt-in): if exactly one
 previously-known payload column receives zero values in the batch while
 exactly one unknown key appears, treat it as a rename — the new key's

@@ -111,3 +111,12 @@ def test_q5_six_way_join_broadcasts_dimensions(spark):
         l for l in plan.splitlines() if "PushedFilters" in l and "r_name" in l
     )
     assert "IsNotNull(o_orderdate)" in plan  # date filter reached the scan
+
+
+def test_q3_q10_broadcast_dimensions_and_pushdown(spark):
+    for q in (entrymod.q_q3_shipping_priority, entrymod.q_q10_returned_items):
+        plan = _plan(q(spark, SF))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        # date/flag filters reach the parquet scans
+        assert "PushedFilters" in plan and "IsNotNull" in plan
