@@ -34,9 +34,13 @@ def main(argv: list[str] | None = None) -> int:
     run_p.add_argument("--soak", help="processingTime trigger, e.g. '10 seconds'")
     run_p.add_argument("--compact-every", type=int, default=8)
 
-    for name in ("compact", "metrics", "lineage"):
+    for name in ("compact", "metrics", "lineage", "remove-orphans"):
         sp = sub.add_parser(name)
         sp.add_argument("--table", required=True)
+
+    ex = sub.add_parser("expire-snapshots", help="drop old snapshots and their unshared data files")
+    ex.add_argument("--table", required=True)
+    ex.add_argument("--keep-last", type=int, default=2)
 
     rb = sub.add_parser("rebucket", help="rewrite the table into a new bucket modulus")
     rb.add_argument("--table", required=True)
@@ -102,6 +106,16 @@ def main(argv: list[str] | None = None) -> int:
 
         for rec in EpochLog(table.root).lineage():
             print(json.dumps(rec))
+    elif args.cmd == "remove-orphans":
+        from .plans.maintenance import remove_orphan_files
+
+        deleted = remove_orphan_files(table)
+        print(json.dumps({"deleted_files": len(deleted)}))
+    elif args.cmd == "expire-snapshots":
+        from .plans.maintenance import expire_snapshots
+
+        deleted = expire_snapshots(table, keep_last=args.keep_last)
+        print(json.dumps({"deleted_files": len(deleted), "kept_last": args.keep_last}))
     elif args.cmd == "rebucket":
         from .plans.maintenance import rebucket
 
