@@ -104,9 +104,10 @@ def apply_changes(
 
         # The DLQ sink and the (payload-agg → delta/merge) chain are
         # independent outputs over the same source: run them from two
-        # driver threads so epoch wall time is max(branch), not
-        # sum(branch) — the scheduler interleaves their stages across
-        # cores and the overlap soaks each job's fixed scheduling floor.
+        # driver threads so the scheduler can interleave their stages.
+        # The overlap reliably soaks each job's fixed scheduling floor;
+        # beyond that it helps only when the cluster has idle slots —
+        # at full utilization the two branches serialize on cores.
         from concurrent.futures import ThreadPoolExecutor
 
         def dlq_branch() -> int:
