@@ -33,6 +33,7 @@ from streaming_data_pipeline_spark.functions.transform import (
     event_type_mapping_col,
 )
 from streaming_data_pipeline_spark.functions.validate import validate_and_split
+from streaming_data_pipeline_spark.operators import curation as operators_curation
 from streaming_data_pipeline_spark.operators import dedup_text, multimodal, similarity, text
 from streaming_data_pipeline_spark.operators.dedup import lww_dedup
 from streaming_data_pipeline_spark.plans.lake import SnapshotTable
@@ -372,6 +373,53 @@ def q_doc_fingerprint(spark, sf_dir):
     return text.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_pii_redaction(spark, sf_dir):
+    """PII scrub over documents. The driver corpus carries no PII, so the
+    query injects a deterministic email/IP/phone span into every 5th doc
+    (same injection in the oracle SQL) — the operator itself is generic;
+    the injection just makes the counts non-zero and hash-verifiable."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = F.when(
+        did % 5 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            did.cast("string"),
+            F.lit("@example.com at 10.0."),
+            (did % 256).cast("string"),
+            F.lit(".7 call +4917012345"),
+            (did % 10).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    out = operators_curation.redact_pii(d.withColumn("text", injected))
+    return out.select(
+        "doc_id", "n_email", "n_ipv4", "n_phone",
+        F.sha2(F.col("clean_text"), 256).alias("clean_sha"),
+    )
+
+
+def q_benchmark_contamination(spark, sf_dir):
+    """Decontamination check: docs 0-19 stand in for the benchmark/eval
+    set; every other doc reports its 3-gram overlap ratio against it."""
+    d = _t(spark, sf_dir, "documents")
+    return operators_curation.benchmark_contamination(
+        d.filter(F.col("doc_id") >= 20), d.filter(F.col("doc_id") < 20)
+    )
+
+
+def q_repetition_scores(spark, sf_dir):
+    return operators_curation.repetition_score(_t(spark, sf_dir, "documents"))
+
+
+def q_stratified_sample(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = operators_curation.hash_stratified_sample(
+        d, rates={"en": 50, "de": 25}, default_rate=10
+    )
+    return out.select("doc_id", "lang")
+
+
 def q_multimodal_binary_stats(spark, sf_dir):
     docs = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
     return multimodal.binary_stats(docs)
@@ -498,6 +546,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "token_stats": q_token_stats,
         "doc_fingerprint": q_doc_fingerprint,
+        "pii_redaction": q_pii_redaction,
+        "benchmark_contamination": q_benchmark_contamination,
+        "repetition_scores": q_repetition_scores,
+        "stratified_sample": q_stratified_sample,
         "multimodal_binary_stats": q_multimodal_binary_stats,
         "multimodal_decode": q_multimodal_decode,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -811,6 +863,78 @@ def oracle_sql() -> dict[str, str]:
                    sha256(substring(lower(regexp_replace(text, '\\s+', ' ', 'g')), 1, 64)) AS prefix_sha,
                    (length(text) // 100)::BIGINT AS len_bucket
             FROM documents
+        """,
+        "pii_redaction": """
+            WITH injected AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0
+                          THEN text || ' contact user' || doc_id || '@example.com at 10.0.'
+                               || (doc_id % 256) || '.7 call +4917012345' || (doc_id % 10)
+                          ELSE text END AS text
+              FROM documents)
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+                   len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::BIGINT AS n_ipv4,
+                   len(regexp_extract_all(text, '\\+\\d{9,15}'))::BIGINT AS n_phone,
+                   sha256(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g'),
+                       '\\+\\d{9,15}', '[PHONE]', 'g')
+                   ) AS clean_sha
+            FROM injected
+        """,
+        "benchmark_contamination": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+              FROM documents WHERE doc_id >= 20),
+            sh AS (
+              SELECT DISTINCT doc_id, s AS shingle FROM toks,
+              UNNEST(CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                          ELSE [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                FOR i IN generate_series(1, len(t) - 2)] END) AS u(s)
+              WHERE s <> ''),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            bm_toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+              FROM documents WHERE doc_id < 20),
+            bm AS (
+              SELECT DISTINCT s AS shingle FROM bm_toks,
+              UNNEST(CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                          ELSE [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                FOR i IN generate_series(1, len(t) - 2)] END) AS u(s)
+              WHERE s <> ''),
+            ov AS (
+              SELECT doc_id, count(*) AS n_overlap
+              FROM sh JOIN bm ON sh.shingle = bm.shingle GROUP BY doc_id)
+            SELECT s.doc_id,
+                   s.n_sh::BIGINT AS n_shingles,
+                   coalesce(ov.n_overlap, 0)::BIGINT AS n_overlap,
+                   round(coalesce(ov.n_overlap, 0) * 1.0 / s.n_sh, 4) AS contamination_ratio
+            FROM sizes s LEFT JOIN ov ON s.doc_id = ov.doc_id
+        """,
+        "repetition_scores": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id, s AS shingle FROM toks,
+              UNNEST(CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                          ELSE [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                FOR i IN generate_series(1, len(t) - 2)] END) AS u(s)
+              WHERE s <> ''),
+            per AS (SELECT doc_id, shingle, count(*) AS c FROM sh GROUP BY 1, 2)
+            SELECT doc_id,
+                   sum(c)::BIGINT AS n_shingles,
+                   max(c)::BIGINT AS max_repeat,
+                   round(max(c) * 1.0 / sum(c), 4) AS repetition_ratio
+            FROM per GROUP BY doc_id
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE (doc_id * 2654435761) % 4294967296 % 100 <
+                  CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 ELSE 10 END
         """,
         "multimodal_binary_stats": """
             SELECT doc_id,
