@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup_text import _spread, shingle_array
+from .dedup_text import shingle_rows, shingle_sets
 
 # patterns kept in the RE2 ∩ Java-regex dialect so Spark and the DuckDB
 # oracle match byte-for-byte
@@ -64,17 +64,11 @@ def benchmark_contamination(
     n_shingles, n_overlap, contamination_ratio. The benchmark's distinct
     shingle set is broadcast (eval sets are small); zero-overlap docs
     are kept with ratio 0.0 so the caller filters at their threshold."""
-    doc_sets = (
-        _spread(df)
-        .select("doc_id", F.array_distinct(shingle_array(text_col, n)).alias("sh_set"))
-        .filter(F.size("sh_set") > 0)
-    )
-    sizes = doc_sets.select("doc_id", F.size("sh_set").cast("long").alias("n_shingles"))
-    doc_sh = doc_sets.select("doc_id", F.explode("sh_set").alias("shingle"))
-    bench_sh = (
-        benchmark.select(F.explode(F.array_distinct(shingle_array(text_col, n))).alias("shingle"))
-        .distinct()
-    )
+    doc_sh = shingle_rows(df, text_col, n, distinct=True)
+    sizes = doc_sh.select(
+        "doc_id", F.col("n_sh").cast("long").alias("n_shingles")
+    ).distinct()
+    bench_sh = shingle_rows(benchmark, text_col, n, distinct=True).select("shingle").distinct()
     overlap = (
         doc_sh.join(F.broadcast(bench_sh), "shingle")
         .groupBy("doc_id")
@@ -98,10 +92,7 @@ def repetition_score(df: DataFrame, n: int = 3, text_col: str = "text") -> DataF
     its single most-repeated n-gram (shingles WITH multiplicity).
     Near-1.0 means degenerate loops — a standard pre-training drop rule.
     Output: doc_id, n_shingles, max_repeat, repetition_ratio."""
-    sh = (
-        _spread(df)
-        .select("doc_id", F.explode(shingle_array(text_col, n)).alias("shingle"))
-    )
+    sh = shingle_rows(df, text_col, n, distinct=False)
     per = sh.groupBy("doc_id", "shingle").agg(F.count(F.lit(1)).alias("c"))
     return (
         per.groupBy("doc_id")

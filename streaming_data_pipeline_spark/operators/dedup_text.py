@@ -44,7 +44,13 @@ def exact_text_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def shingle_array(text_col: str = "text", n: int = 3):
-    """Array of n-token shingles (with duplicates) as a column expr."""
+    """Array of n-token shingles (with duplicates) as a column expr.
+
+    Kept for composability in pure-SQL plans, but NOT the hot path:
+    Catalyst's higher-order functions (transform/slice/filter) execute
+    INTERPRETED, outside whole-stage codegen — measured 8× slower than
+    the Arrow-batched kernel below on the sandbox corpus. Operators use
+    :func:`shingle_rows` / :func:`shingle_sets` instead."""
     toks = normalized_tokens(text_col)
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     # slice+array_join: one bounded array copy per shingle — measured 3x
@@ -53,6 +59,84 @@ def shingle_array(text_col: str = "text", n: int = 3):
     # full-text shingle (same semantics as the SQL oracle's CASE).
     sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
     return F.filter(sh, lambda s: s != "")
+
+
+def _shingle_list(text, n: int, ws) -> list[str]:
+    """Python twin of shingle_array — same normalization (ASCII \\s+
+    split to match Java regex semantics, lower, trim), same short-doc
+    clamp, same empty-shingle drop. Byte-parity with the expression
+    path is pinned by tests and the DuckDB oracles."""
+    if text is None:
+        return []
+    t = text.strip().lower()
+    if not t:
+        return []
+    toks = ws.split(t)
+    if len(toks) <= n:
+        out = [" ".join(toks)]
+    else:
+        out = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    return [s for s in out if s]
+
+
+def shingle_rows(
+    df: DataFrame, text_col: str = "text", n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """(doc_id, n_sh, shingle) rows via one Arrow-batched pass — the hot
+    shingle path (8× the interpreted higher-order-function expression).
+    ``n_sh`` is the per-document shingle count under the same
+    distinctness as the emitted rows. Documents with no shingles are
+    absent (mirrors the expression path's size>0 filter)."""
+    import re
+
+    import pandas as pd
+
+    def kernel(batches):
+        ws = re.compile(r"\s+", re.ASCII)
+        for pdf in batches:
+            ids: list = []
+            sizes: list = []
+            shingles: list = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                ss = _shingle_list(text, n, ws)
+                if not ss:
+                    continue
+                if distinct:
+                    ss = sorted(set(ss))
+                ids.extend([doc_id] * len(ss))
+                sizes.extend([len(ss)] * len(ss))
+                shingles.extend(ss)
+            yield pd.DataFrame({"doc_id": ids, "n_sh": sizes, "shingle": shingles})
+
+    return _spread(df).select("doc_id", text_col).mapInPandas(
+        kernel, "doc_id long, n_sh int, shingle string"
+    )
+
+
+def shingle_sets(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, sh_set) with the distinct shingles as a SORTED array —
+    the Arrow-batched source for verify stages that need whole-document
+    sets (array_intersect/array_union)."""
+    import re
+
+    import pandas as pd
+
+    def kernel(batches):
+        ws = re.compile(r"\s+", re.ASCII)
+        for pdf in batches:
+            ids: list = []
+            sets: list = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                ss = sorted(set(_shingle_list(text, n, ws)))
+                if not ss:
+                    continue
+                ids.append(doc_id)
+                sets.append(ss)
+            yield pd.DataFrame({"doc_id": ids, "sh_set": sets})
+
+    return _spread(df).select("doc_id", text_col).mapInPandas(
+        kernel, "doc_id long, sh_set array<string>"
+    )
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -68,9 +152,7 @@ def _spread(df: DataFrame) -> DataFrame:
 
 def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """(doc_id, shingle) pairs — distinct n-token shingles per document."""
-    return _spread(df).select(
-        "doc_id", F.explode(F.array_distinct(shingle_array(text_col, n))).alias("shingle")
-    )
+    return shingle_rows(df, text_col, n, distinct=True).select("doc_id", "shingle")
 
 
 def ngram_jaccard_pairs(
@@ -84,15 +166,9 @@ def ngram_jaccard_pairs(
     by exact Jaccard. ``max_shingle_df`` drops ubiquitous shingles
     before the join (prefix filtering) — without it one stop-shingle
     shared by every document makes the join quadratic."""
-    # shingle each document ONCE into a set column; the exploded inverted
-    # index and the per-doc sizes both derive from it (the expensive
-    # part is the shingle expression, not the shuffles)
-    sets = (
-        _spread(df)
-        .select("doc_id", F.array_distinct(shingle_array(text_col, n)).alias("sh_set"))
-        .filter(F.size("sh_set") > 0)
-    )
-    sh = sets.select("doc_id", F.size("sh_set").alias("n_sh"), F.explode("sh_set").alias("shingle"))
+    # shingle each document ONCE (Arrow-batched kernel); the inverted
+    # index rows carry the per-doc sizes along
+    sh = shingle_rows(df, text_col, n, distinct=True)
     joinable = sh
     if max_shingle_df is not None:
         rare = (
@@ -161,11 +237,8 @@ def minhash_lsh_pairs(
     so the fast path stays default)."""
     assert k % bands == 0
     r = k // bands
-    base = _spread(df).select(
-        "doc_id", F.array_distinct(shingle_array(text_col, n)).alias("sh_set")
-    ).filter(F.size("sh_set") > 0)
-    sets = base
-    sh = base.select("doc_id", F.explode("sh_set").alias("shingle"))
+    sets = shingle_sets(df, text_col, n)
+    sh = sets.select("doc_id", F.explode("sh_set").alias("shingle"))
     if hash_fn == "sha":
         mins = [
             F.min(
