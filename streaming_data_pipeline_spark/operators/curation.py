@@ -118,8 +118,15 @@ def hash_stratified_sample(
     Knuth-multiplicative bucket (0-99) falls below the stratum's
     percentage. No RNG state ⇒ identical samples on every engine,
     executor and replay — the property that makes sampled training
-    mixes reproducible. ``rates``: {stratum: pct_to_keep}."""
-    bucket = (F.col(key_col) * F.lit(KNUTH)) % F.lit(2**32) % F.lit(100)
+    mixes reproducible. ``rates``: {stratum: pct_to_keep}.
+
+    Overflow/sign care (ANSI mode): the key is folded into [0, 2^31)
+    BEFORE the Knuth multiply so the product stays inside a long even
+    for full-range hash-derived ids, and pmod keeps every stage
+    non-negative. For small non-negative keys this equals the plain
+    %-formulation the DuckDB oracle uses."""
+    folded = F.pmod(F.col(key_col), F.lit(2**31))
+    bucket = F.pmod(F.pmod(folded * F.lit(KNUTH), F.lit(2**32)), F.lit(100))
     rate = None
     for stratum, pct in sorted(rates.items()):
         cond = F.col(strata_col) == stratum
