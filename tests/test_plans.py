@@ -120,3 +120,19 @@ def test_q3_q10_broadcast_dimensions_and_pushdown(spark):
         assert "CartesianProduct" not in plan
         # date/flag filters reach the parquet scans
         assert "PushedFilters" in plan and "IsNotNull" in plan
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """The benchmark shingle set must broadcast (eval sets are small);
+    the corpus side shuffles once for its own aggregation only."""
+    plan = _plan(entrymod.q_benchmark_contamination(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_stratified_sample_is_map_only(spark):
+    """Deterministic sampling is a pure filter: no exchange, no join, no
+    aggregate — the property that lets it run inline in any scan."""
+    plan = _plan(entrymod.q_stratified_sample(spark, SF))
+    assert "Join" not in plan and "Aggregate" not in plan
+    assert ") Exchange" not in plan
