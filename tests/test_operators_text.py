@@ -226,3 +226,37 @@ def test_minhash_sha_variant_matches_fast_path_on_dups(spark):
     }
     assert {(0, 1), (0, 4), (1, 4)} <= sha
     assert sha == fast  # same corpus, same verified-threshold semantics
+
+
+def test_shingle_kernel_parity_with_expression_path(spark):
+    """The Arrow-batched shingle kernel must produce byte-identical rows
+    to the Catalyst expression form (the DuckDB oracles are written
+    against the latter's semantics). Adversarial inputs: repeated/mixed
+    whitespace, tabs/newlines, short docs, empties, unicode text,
+    unicode whitespace."""
+    rows = [
+        (0, "plain three word doc"),
+        (1, "  leading and   multiple    spaces "),
+        (2, "tabs\tand\nnewlines\r\nmixed\there"),
+        (3, "two words"),
+        (4, "one"),
+        (5, ""),
+        (6, "   "),
+        (7, None),
+        (8, "Ünïcode Tökens ÜNÏCODE tökens ünïcode"),
+        (9, "a b c d e f g a b c d"),
+        (10, "nbsp separated tokens here with more"),  # U+00A0 is NOT \s in either engine
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    expr = df.select(
+        "doc_id",
+        F.explode(F.array_distinct(dedup_text.shingle_array("text", 3))).alias("shingle"),
+    )
+    kern = dedup_text.shingle_rows(df, "text", 3, distinct=True).select("doc_id", "shingle")
+    a = sorted(map(tuple, expr.collect()))
+    b = sorted(map(tuple, kern.collect()))
+    assert a == b
+    # with-duplicates variant too (repetition scoring path)
+    expr_d = df.select("doc_id", F.explode(dedup_text.shingle_array("text", 3)).alias("shingle"))
+    kern_d = dedup_text.shingle_rows(df, "text", 3, distinct=False).select("doc_id", "shingle")
+    assert sorted(map(tuple, expr_d.collect())) == sorted(map(tuple, kern_d.collect()))
