@@ -42,14 +42,18 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     the redacted text (placeholders substituted in pattern order).
     Counting happens BEFORE any replacement so overlapping patterns
     (an email containing digits, say) are attributed to the first
-    pattern that matches the original text."""
+    pattern that matches the original text. Null text yields zero
+    counts and null clean_text (size() on a null array would otherwise
+    leak a -1/null sentinel into downstream sums)."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     counts = [
-        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).cast("long").alias(f"n_{kind}")
+        F.size(F.regexp_extract_all(txt, F.lit(pat), F.lit(0))).cast("long").alias(f"n_{kind}")
         for kind, pat, _ in PII_PATTERNS
     ]
-    clean = F.col(text_col)
+    clean = txt
     for _, pat, repl in PII_PATTERNS:
         clean = F.regexp_replace(clean, pat, repl)
+    clean = F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(clean)
     return df.select("doc_id", *counts, clean.alias("clean_text"))
 
 

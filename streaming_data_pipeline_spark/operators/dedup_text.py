@@ -62,16 +62,20 @@ def shingle_array(text_col: str = "text", n: int = 3):
 
 
 def _shingle_list(text, n: int, ws) -> list[str]:
-    """Python twin of shingle_array — same normalization (ASCII \\s+
-    split to match Java regex semantics, lower, trim), same short-doc
-    clamp, same empty-shingle drop. Byte-parity with the expression
-    path is pinned by tests and the DuckDB oracles."""
+    """Python twin of shingle_array — byte-parity demands replicating
+    Spark's exact semantics, not Python idiom:
+      - `trim` strips SPACES ONLY (0x20), so leading/trailing \\t \\n \\r
+        survive into the split — use .strip(' '), NOT .strip();
+      - Spark `split(.., limit=-1)` keeps the leading/trailing EMPTY
+        tokens a boundary delimiter produces, exactly like re.split —
+        so a text ending in '\\n' contributes a trailing '' token and a
+        'world foo ' shingle, same as the expression path and oracles;
+      - \\s is the ASCII class in Java regex — re.ASCII matches it.
+    Pinned by tests (incl. leading/trailing whitespace cases) and the
+    DuckDB oracles."""
     if text is None:
         return []
-    t = text.strip().lower()
-    if not t:
-        return []
-    toks = ws.split(t)
+    toks = ws.split(text.lower().strip(" "))
     if len(toks) <= n:
         out = [" ".join(toks)]
     else:

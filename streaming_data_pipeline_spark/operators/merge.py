@@ -87,8 +87,12 @@ def append_delta(
         changes = lww_dedup(
             changes, key=LAKE_KEY, order=("lsn", "commit"), salt_buckets=salt_buckets
         )
+    # capture the modulus BEFORE computing bucket ids: commit() verifies
+    # it is still current at publish time (expected_n_buckets), so a
+    # concurrent rebucket cannot sneak stale bucket ids into a manifest
+    n_buckets_at_write = table.n_buckets
     src = source_to_lake_rows(changes, lake_schema).withColumn(
-        "_bucket", bucket_col(table.n_buckets)
+        "_bucket", bucket_col(n_buckets_at_write)
     )
     obs = Observation(f"delta-{epoch}")
     src = src.observe(
@@ -123,10 +127,13 @@ def append_delta(
         "files_written": len(new_files),
     }
     # optimistic concurrency (the Iceberg commit model): a delta append
-    # replaces no buckets, so losing the version race is ALWAYS safe to
-    # retry — commit() recomputes carried files from the winner's
-    # manifest. (COW merge_into deliberately does NOT retry: its join
-    # read a now-stale snapshot, so a conflict there must surface.)
+    # replaces no buckets, so losing the version race is safe to retry —
+    # commit() recomputes carried files from the winner's manifest —
+    # EXCEPT when the winner changed the bucket LAYOUT (rebucket): these
+    # files' bucket ids were computed under the old modulus and would
+    # corrupt pruning, so that conflict must surface to the caller for a
+    # re-apply. (COW merge_into deliberately never retries: its join
+    # read a now-stale snapshot.)
     for attempt in range(5):
         try:
             ver = table.commit(
@@ -137,6 +144,7 @@ def append_delta(
                 operation="append_delta",
                 summary=summary,
                 column_renames=column_renames,
+                expected_n_buckets=n_buckets_at_write,
             )
             break
         except FileExistsError:
@@ -178,6 +186,7 @@ def merge_into(
                 epoch=epoch, operation=operation,
                 summary={"source_rows": 0, "touched_buckets": []},
                 column_renames=column_renames,
+                expected_n_buckets=n_buckets,
             )
             return {"version": ver, "source_rows": 0, "touched_buckets": [], "files": []}
 
@@ -229,8 +238,7 @@ def merge_into(
             F.sum(F.col("_deleted").cast("long")).alias("tombstones"),
         )
 
-        nv = table.current_version() + 1
-        staging = table.staging_dir(nv)
+        staging = table.new_staging_dir(f"merge-e{epoch}")
         (
             result.drop("_applied")
             .repartition(F.col("_bucket"))
@@ -263,6 +271,7 @@ def merge_into(
             operation=operation,
             summary=summary,
             column_renames=column_renames,
+            expected_n_buckets=n_buckets,
         )
         return {"version": ver, "files": new_files, **summary}
     finally:

@@ -62,6 +62,19 @@ def export_training_mix(
     )
     counts = {"state_rows": docs.count()}
 
+    # Each stage boundary persists its survivors and retires the previous
+    # cache: the per-stage counts AND the downstream stage read the
+    # materialized frame, so the expensive upstream work (LWW resolve,
+    # dedup join, shingle kernels) runs once, not once per action.
+    from pyspark.storagelevel import StorageLevel
+
+    def _stage(frame, prev):
+        frame = frame.persist(StorageLevel.MEMORY_AND_DISK)
+        nrows = frame.count()
+        if prev is not None:
+            prev.unpersist()
+        return frame, nrows
+
     # 1. exact content dedup: canonical keeper = lexicographically least
     # (repo, path) per content hash — deterministic, one shuffle
     keyed = docs.withColumn("_sha", F.sha2(F.col("text"), 256))
@@ -73,24 +86,27 @@ def export_training_mix(
         .filter((F.col("repo") == F.col("_keep.repo")) & (F.col("path") == F.col("_keep.path")))
         .drop("_keep")
     )
-    counts["after_exact_dedup"] = deduped.count()
+    deduped, counts["after_exact_dedup"] = _stage(deduped, None)
 
     # 2. decontamination against the benchmark/eval corpus
     if benchmark is not None:
         contam = benchmark_contamination(
             deduped.select("doc_id", "text"), benchmark, n=n
         ).filter(F.col("contamination_ratio") > max_contamination).select("doc_id")
-        deduped = deduped.join(contam, "doc_id", "left_anti")
-        counts["after_decontamination"] = deduped.count()
+        deduped, counts["after_decontamination"] = _stage(
+            deduped.join(contam, "doc_id", "left_anti"), deduped
+        )
 
     # 3. repetition filter (degenerate loops out)
     reps = repetition_score(deduped.select("doc_id", "text"), n=n).filter(
         F.col("repetition_ratio") > max_repetition
     ).select("doc_id")
-    deduped = deduped.join(reps, "doc_id", "left_anti")
-    counts["after_repetition_filter"] = deduped.count()
+    deduped, counts["after_repetition_filter"] = _stage(
+        deduped.join(reps, "doc_id", "left_anti"), deduped
+    )
 
-    # 4. deterministic per-lang mix
+    # 4. deterministic per-lang mix — a pure filter over the cached
+    # survivors, so count + write cost two cheap passes
     sampled = hash_stratified_sample(
         deduped, rates=rates, default_rate=default_rate, key_col="doc_id", strata_col="lang"
     )
@@ -104,6 +120,7 @@ def export_training_mix(
         .partitionBy("lang")
         .parquet(os.path.join(out_dir, "data"))
     )
+    deduped.unpersist()
     manifest = {
         "snapshot_version": v,
         "rates": rates,

@@ -271,6 +271,7 @@ class SnapshotTable:
         summary: dict | None = None,
         column_renames: dict[str, str] | None = None,
         n_buckets: int | None = None,
+        expected_n_buckets: int | None = None,
     ) -> int:
         """Atomically publish snapshot v+1 = (old manifest − replaced
         buckets) ∪ new_files. Returns the new version id.
@@ -278,9 +279,21 @@ class SnapshotTable:
         ``n_buckets`` changes the table's bucket layout in the SAME
         commit (partition-spec evolution) — only valid when every
         existing bucket is replaced, since old files' bucket ids are
-        meaningless under the new modulus."""
+        meaningless under the new modulus.
+
+        ``expected_n_buckets``: the modulus the writer computed its
+        bucket ids under. If a concurrent rebucket changed the table's
+        modulus since, this commit MUST fail (stale bucket ids would
+        silently corrupt pruning) — and a version-race retry alone
+        cannot catch it, because a rebucket that lands cleanly before
+        this commit leaves no v+1 conflict to trip over."""
         v = self.current_version()
         meta = self.metadata(v)
+        if expected_n_buckets is not None and meta["n_buckets"] != expected_n_buckets:
+            raise RuntimeError(
+                f"bucket layout changed concurrently ({expected_n_buckets} -> "
+                f"{meta['n_buckets']}); recompute bucket ids and re-apply"
+            )
         if column_renames:
             merged = dict(meta.get("column_renames", {}))
             merged.update(column_renames)
@@ -365,6 +378,11 @@ class SnapshotTable:
         for entry in meta["schema_log"]:
             if entry["version"] <= version:
                 meta["schema"] = entry["schema"]
+        # the pin is itself a schema event: without a log entry, a later
+        # rollback TO this version would resolve to the pre-rollback
+        # schema (the log scan stops at the newest entry <= target)
+        if not meta["schema_log"] or meta["schema_log"][-1]["schema"] != meta["schema"]:
+            meta["schema_log"].append({"version": nv, "schema": meta["schema"]})
         meta["snapshots"][str(nv)] = {
             "manifest": target["manifest"],
             "epoch": None,
@@ -401,8 +419,15 @@ class SnapshotTable:
         added: list[dict] = []
         prev = {e["path"] for e in self.manifest(v_from)}
         for v in range(v_from + 1, v_to + 1):
+            meta_v = self.metadata(v)
+            op = meta_v["snapshots"][str(meta_v["current_snapshot_id"])].get("operation")
             cur = self.manifest(v)
-            added += [e for e in cur if e["path"] not in prev and e.get("kind") == "delta"]
+            # a rollback republishes an OLD manifest: files it "re-adds"
+            # (e.g. deltas a compaction had retired) were already
+            # delivered when first committed — emitting them again would
+            # double-apply rows downstream
+            if op != "rollback":
+                added += [e for e in cur if e["path"] not in prev and e.get("kind") == "delta"]
             prev = {e["path"] for e in cur}
         schema = self.schema(v_to)
         paths = [os.path.join(self.root, e["path"]) for e in added]

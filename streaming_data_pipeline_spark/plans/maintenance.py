@@ -43,9 +43,12 @@ def _rewrite_buckets(
     df = table.read(spark, buckets=buckets, resolved=True)
     if df_filter is not None:
         df = df.filter(df_filter)
-    nv = table.current_version() + 1
-    staging = table.staging_dir(nv)
-    bucket = F.pmod(F.xxhash64(F.col("repo"), F.col("path")), F.lit(table.n_buckets))
+    # writer-unique staging (see SnapshotTable.new_staging_dir): a
+    # concurrent rewriter must lose at the COMMIT, never by silently
+    # overwriting another writer's staged files
+    staging = table.new_staging_dir(operation)
+    nb_at_write = table.n_buckets
+    bucket = F.pmod(F.xxhash64(F.col("repo"), F.col("path")), F.lit(nb_at_write))
     (
         df.withColumn("_bucket", bucket)
         .repartition(F.col("_bucket"))
@@ -60,6 +63,7 @@ def _rewrite_buckets(
         replaced_buckets=buckets,
         operation=operation,
         summary={"buckets": sorted(buckets)},
+        expected_n_buckets=nb_at_write,
     )
 
 
@@ -138,8 +142,7 @@ def rebucket(spark: SparkSession, table: SnapshotTable, new_n_buckets: int) -> i
     new modulus from current metadata."""
     old_buckets = {e["bucket"] for e in table.manifest()}
     df = table.read(spark, resolved=True)
-    nv = table.current_version() + 1
-    staging = table.staging_dir(nv)
+    staging = table.new_staging_dir("rebucket")
     bucket = F.pmod(F.xxhash64(F.col("repo"), F.col("path")), F.lit(new_n_buckets))
     (
         df.withColumn("_bucket", bucket)
@@ -184,13 +187,12 @@ def expire_snapshots(table: SnapshotTable, keep_last: int = 2) -> list[str]:
             drop_files |= files_of(v)
     drop_files -= keep_files
 
-    deleted = []
-    for rel in sorted(drop_files):
-        full = os.path.join(table.root, rel)
-        if os.path.exists(full):
-            os.unlink(full)
-            deleted.append(rel)
-
+    # PUBLISH the pruned snapshot log FIRST, delete files SECOND (the
+    # Iceberg order): if the exclusive metadata write loses to a
+    # concurrent commit (or this process dies here), nothing has been
+    # deleted and the log never references missing files. The reverse
+    # order leaves a window where still-listed snapshots point at
+    # already-unlinked parquet.
     for v in versions:
         if v not in retained:
             meta["snapshots"].pop(str(v), None)
@@ -200,16 +202,22 @@ def expire_snapshots(table: SnapshotTable, keep_last: int = 2) -> list[str]:
     meta["version"] = nv
     # current snapshot unchanged; this metadata bump records the expiry
     man = meta["snapshots"][str(meta["current_snapshot_id"])]["manifest"]
-    meta["snapshots"][str(nv)] = meta["snapshots"][str(meta["current_snapshot_id"])]
     meta["snapshots"][str(nv)] = {
         "manifest": man,
         "epoch": None,
         "operation": "expire_snapshots",
-        "summary": {"deleted_files": len(deleted), "retained": sorted(retained)},
+        "summary": {"deleted_files": len(drop_files), "retained": sorted(retained)},
     }
     meta["current_snapshot_id"] = nv
     # same first-writer-wins rule as SnapshotTable.commit: the expiry bump
     # must not silently clobber a concurrent writer's v{N}.json
     _atomic_write_json(meta, os.path.join(table.meta_dir, f"v{nv}.json"), exclusive=True)
     _atomic_write_json({"v": nv}, os.path.join(table.meta_dir, "version-hint.json"))
+
+    deleted = []
+    for rel in sorted(drop_files):
+        full = os.path.join(table.root, rel)
+        if os.path.exists(full):
+            os.unlink(full)
+            deleted.append(rel)
     return deleted

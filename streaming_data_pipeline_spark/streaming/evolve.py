@@ -83,17 +83,31 @@ def evolve_and_promote(
     for nk, old in known_renames.items():
         if old in src_for:
             src_for[old] = nk
+    # a persisted rename whose TARGET column is missing from the schema
+    # (e.g. the table was rolled back to before the promotion): the key
+    # must not vanish — revive the target column, still sourced from the
+    # renamed key, instead of silently dropping the values
+    revived = sorted(
+        old
+        for nk, old in known_renames.items()
+        if old not in known_extras and counts.get(nk, 0) > 0
+    )
+    for old in revived:
+        src_for[old] = next(nk for nk, o in known_renames.items() if o == old)
     new_keys = sorted(
-        k
-        for k in counts
-        if k not in known_extras and k not in LAKE_BASE_COLS and k not in known_renames
+        set(
+            k
+            for k in counts
+            if k not in known_extras and k not in LAKE_BASE_COLS and k not in known_renames
+        )
+        | set(revived)
     )
     silent = sorted(
         c for c in known_extras if counts.get(src_for[c], 0) == 0 and counts.get(c, 0) == 0
     )
 
     renames: dict[str, str] = {}
-    if detect_renames and len(new_keys) == 1 and len(silent) == 1:
+    if detect_renames and len(new_keys) == 1 and len(silent) == 1 and new_keys[0] not in revived:
         renames = {new_keys[0]: silent[0]}
         src_for[silent[0]] = new_keys[0]
         log.warning("schema-evolution: treating payload key %r as rename of column %r", new_keys[0], silent[0])
@@ -111,7 +125,8 @@ def evolve_and_promote(
                 val = F.coalesce(F.col("payload")[src_key], F.col("payload")[col_name])
             out = out.withColumn(col_name, val)
         for k in new_keys:
-            out = out.withColumn(k, F.col("payload")[k])
+            # revived rename targets source from the renamed payload key
+            out = out.withColumn(k, F.col("payload")[src_for.get(k, k)])
         out = out.drop("payload")
     else:
         for col_name in known_extras + new_keys:

@@ -25,19 +25,26 @@ from .exactly_once import EpochLog
 
 
 def checkpoint_offsets(checkpoint_dir: str, batch_id: int) -> list[str]:
-    """Authoritative per-epoch offset range from the checkpoint's source
-    WAL (<ckpt>/sources/0/<batchId>). This is the lineage anchor —
-    `inputFiles()` on the microbatch plan is best-effort only. Two source
-    formats are handled:
-      - file source: one JSON record per file, each with a "path";
-      - Kafka source: a single JSON topic→partition→endOffset map,
-        serialized here as "topic:partition:offset" strings (the range
-        start is the previous batch's entry)."""
+    """Authoritative per-epoch offset range from the checkpoint. This is
+    the lineage anchor — `inputFiles()` on the microbatch plan is
+    best-effort only. Two layouts are read, matching what each source
+    actually writes per batch:
+      - file source: <ckpt>/sources/0/<batchId> (FileStreamSourceLog),
+        one JSON record per file, each with a "path";
+      - Kafka (and other offset-based sources): the engine's OffsetSeqLog
+        at <ckpt>/offsets/<batchId> — a version line, one metadata JSON
+        line, then one offset JSON per source; a Kafka source's entry is
+        a topic→partition→endOffset map, serialized here as
+        "topic:partition:offset" strings (the range START is the
+        previous batch's entry). Kafka does NOT write per-batch files
+        under sources/ — only the batch-0 initial offsets — so parsing
+        sources/0/<batchId> alone would leave every Kafka epoch with
+        empty lineage."""
     import json as _json
     import os as _os
 
-    p = _os.path.join(checkpoint_dir, "sources", "0", str(batch_id))
     files: list[str] = []
+    p = _os.path.join(checkpoint_dir, "sources", "0", str(batch_id))
     try:
         with open(p) as f:
             for line in f:
@@ -47,15 +54,30 @@ def checkpoint_offsets(checkpoint_dir: str, batch_id: int) -> list[str]:
                 rec = _json.loads(line)
                 if isinstance(rec, dict) and "path" in rec:
                     files.append(rec["path"])
-                elif isinstance(rec, dict):
-                    # kafka offset map: {"topic": {"partition": offset}}
-                    for topic, parts in rec.items():
-                        if isinstance(parts, dict):
-                            files.extend(
-                                f"{topic}:{part}:{off}" for part, off in sorted(parts.items())
-                            )
     except OSError:
         pass
+    if files:
+        return files
+    # offset-based sources: OffsetSeqLog
+    p = _os.path.join(checkpoint_dir, "offsets", str(batch_id))
+    try:
+        with open(p) as f:
+            lines = [ln.strip() for ln in f if ln.strip()]
+    except OSError:
+        return files
+    # line 0 is the version ("v1"), line 1 the batch metadata JSON
+    # ({batchWatermarkMs,...}); each later line is one source's offsets
+    for line in lines[2:]:
+        try:
+            rec = _json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(rec, dict):
+            for topic, parts in rec.items():
+                if isinstance(parts, dict):
+                    files.extend(
+                        f"{topic}:{part}:{off}" for part, off in sorted(parts.items())
+                    )
     return files
 
 

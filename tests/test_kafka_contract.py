@@ -70,16 +70,30 @@ def test_offsets_for_parses_kafka_offset_map(tmp_path):
     file-source records."""
     from streaming_data_pipeline_spark.streaming import stream as stream_mod
 
+    # Kafka writes NO per-batch file under sources/ — per-batch end
+    # offsets live in the engine's OffsetSeqLog at <ckpt>/offsets/<id>:
+    # version line, batch-metadata JSON, then one offset JSON per source.
+    off_dir = tmp_path / "ckpt" / "offsets"
+    off_dir.mkdir(parents=True)
+    (off_dir / "7").write_text(
+        'v1\n'
+        '{"batchWatermarkMs":0,"batchTimestampMs":1700000000000,"conf":{}}\n'
+        '{"change-events":{"0":120,"1":95}}\n'
+    )
+    # the file source DOES write per-batch file lists under sources/0
     src_dir = tmp_path / "ckpt" / "sources" / "0"
     src_dir.mkdir(parents=True)
-    (src_dir / "7").write_text(
-        'v1\n{"change-events":{"0":120,"1":95}}\n'
-    )
     (src_dir / "8").write_text(
         'v1\n{"path":"file:///wal/f1.parquet","timestamp":1,"batchId":8}\n'
         '{"path":"file:///wal/f2.parquet","timestamp":1,"batchId":8}\n'
+    )
+    # file source also logs {"logOffset":N} in offsets/<id> — must not
+    # be misread as a kafka map when sources/0/<id> is absent
+    (off_dir / "9").write_text(
+        'v1\n{"batchWatermarkMs":0}\n{"logOffset":9}\n'
     )
     kafka = stream_mod.checkpoint_offsets(str(tmp_path / "ckpt"), 7)
     files = stream_mod.checkpoint_offsets(str(tmp_path / "ckpt"), 8)
     assert kafka == ["change-events:0:120", "change-events:1:95"]
     assert files == ["file:///wal/f1.parquet", "file:///wal/f2.parquet"]
+    assert stream_mod.checkpoint_offsets(str(tmp_path / "ckpt"), 9) == []

@@ -181,3 +181,52 @@ def test_remove_orphan_files(spark, tmp_path):
     assert deleted and all("delta-crashed" in p or "stage" in p for p in deleted)
     assert not os.path.exists(orphan_dir)
     assert table.state_hash(spark) == h  # committed data untouched
+
+
+def test_rollback_of_rollback_schema(spark, tmp_path):
+    """A rollback is itself a schema event in the log: rolling back TO a
+    post-rollback version must restore the schema live AT that version,
+    not the newest pre-rollback one (review r2 finding)."""
+    table = SnapshotTable.create(str(tmp_path / "rr"), LAKE_BASE, n_buckets=4)
+    apply_changes(spark, table, _batch(spark, [_ev("insert", "a.py", 1)]), 0)
+    v_plain = table.current_version()
+    apply_changes(spark, table, _batch(spark, [_ev("insert", "b.py", 2, payload={"stars": "5"})]), 1)
+    v_rb1 = table.rollback(v_plain)            # pins the stars-less schema
+    assert "stars" not in [f.name for f in table.schema().fields]
+    apply_changes(spark, table, _batch(spark, [_ev("insert", "c.py", 3)]), 2)
+    table.rollback(v_rb1)                      # roll back TO the first rollback
+    assert "stars" not in [f.name for f in table.schema().fields]
+
+
+def test_change_feed_skips_rollback_readds(spark, tmp_path):
+    """A rollback that re-publishes deltas compaction had retired must
+    NOT re-emit their rows into the change feed (double-apply hazard)."""
+    table = SnapshotTable.create(str(tmp_path / "cf"), LAKE_BASE, n_buckets=4)
+    apply_changes(spark, table, _batch(spark, [_ev("insert", "a.py", 1)]), 0)
+    v1 = table.current_version()
+    compact(spark, table, max_files_per_bucket=1)   # retires the delta
+    v2 = table.current_version()
+    table.rollback(v1)                              # re-adds the delta file
+    v3 = table.current_version()
+    assert table.changes_between(spark, v2, v3).count() == 0
+    # and the cumulative feed still shows the original delivery exactly once
+    assert table.changes_between(spark, 0, v3).count() == 1
+
+
+def test_commit_rejects_stale_bucket_modulus(spark, tmp_path):
+    """A writer whose bucket ids were computed under an older modulus
+    must fail at commit even when there is no version conflict — a
+    rebucket landing cleanly before the commit leaves nothing to race."""
+    import pytest
+
+    from streaming_data_pipeline_spark.plans.maintenance import rebucket
+
+    table = SnapshotTable.create(str(tmp_path / "sb"), LAKE_BASE, n_buckets=4)
+    apply_changes(spark, table, _batch(spark, [_ev("insert", "a.py", 1)]), 0)
+    nb_seen_by_writer = table.n_buckets
+    rebucket(spark, table, 8)  # concurrent layout change
+    with pytest.raises(RuntimeError, match="bucket layout changed"):
+        table.commit(
+            new_files=[], replaced_buckets=set(), operation="append_delta",
+            expected_n_buckets=nb_seen_by_writer,
+        )

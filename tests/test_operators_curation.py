@@ -14,10 +14,14 @@ def test_redact_pii_counts_and_text(spark):
             (0, "mail me at alice.smith+x@corp.example.org or call +491701234567"),
             (1, "server at 192.168.10.7 and 10.0.0.1 are fine"),
             (2, "nothing sensitive here"),
+            (3, None),
         ],
         "doc_id long, text string",
     )
     out = {r["doc_id"]: r for r in curation.redact_pii(df).collect()}
+    # null text: zero counts (never a -1/null sentinel), null clean_text
+    assert (out[3]["n_email"], out[3]["n_ipv4"], out[3]["n_phone"]) == (0, 0, 0)
+    assert out[3]["clean_text"] is None
     assert (out[0]["n_email"], out[0]["n_phone"]) == (1, 1)
     assert out[0]["clean_text"] == "mail me at [EMAIL] or call [PHONE]"
     assert out[1]["n_ipv4"] == 2 and out[1]["clean_text"] == "server at [IP] and [IP] are fine"

@@ -146,3 +146,21 @@ def test_rename_default_off_in_apply(spark, tmp_path):
     names = [f.name for f in table.schema().fields]
     assert "stars" in names and "stargazers" in names
     assert table.column_renames == {}
+
+
+def test_persisted_rename_with_absent_target_revives_column(spark):
+    """A persisted rename whose target column vanished from the schema
+    (e.g. after a rollback past the promotion) must not silently drop
+    the payload key's values — the target column is revived, sourced
+    from the renamed key (review r2 finding)."""
+    batch = spark.createDataFrame(
+        [_ev("insert", "r", "z.py", 9, {"stargazers": "7"})], CH
+    )
+    out, new_schema, report = evolve_and_promote(
+        batch, LAKE_BASE, known_renames={"stargazers": "stars"}
+    )
+    assert "stars" in [f.name for f in new_schema.fields]
+    assert report["added_columns"] == ["stars"]
+    row = out.collect()[0]
+    assert row["stars"] == "7"
+    assert "stargazers" not in out.columns
