@@ -169,7 +169,12 @@ def merge_into(
     the snapshot metadata): counts + per-bucket lineage.
     """
     lake_schema = new_schema or table.schema()
-    n_buckets = table.n_buckets
+    # pin the read snapshot: the touched buckets are read at this version,
+    # and commit(expected_version=...) rejects the publish if a concurrent
+    # writer added files to those buckets in between — otherwise the
+    # replace would silently drop the concurrent rows.
+    read_version = table.current_version()
+    n_buckets = table.metadata(read_version)["n_buckets"]
 
     deduped = lww_dedup(changes, key=LAKE_KEY, order=("lsn", "commit"), salt_buckets=salt_buckets)
     src = source_to_lake_rows(deduped, lake_schema).withColumn(
@@ -194,7 +199,8 @@ def merge_into(
         # join needs exactly one current row per key. Replacing the
         # buckets afterwards retires those deltas in the same commit.
         target = align_to_schema(
-            table.read(spark, buckets=touched, resolved=True), lake_schema
+            table.read(spark, version=read_version, buckets=touched, resolved=True),
+            lake_schema,
         )
 
         cols = [f.name for f in lake_schema.fields]
@@ -272,6 +278,7 @@ def merge_into(
             summary=summary,
             column_renames=column_renames,
             expected_n_buckets=n_buckets,
+            expected_version=read_version,
         )
         return {"version": ver, "files": new_files, **summary}
     finally:

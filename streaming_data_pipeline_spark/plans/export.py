@@ -60,13 +60,16 @@ def export_training_mix(
         "lang",
         F.col("content").alias("text"),
     )
-    counts = {"state_rows": docs.count()}
-
     # Each stage boundary persists its survivors and retires the previous
     # cache: the per-stage counts AND the downstream stage read the
     # materialized frame, so the expensive upstream work (LWW resolve,
-    # dedup join, shingle kernels) runs once, not once per action.
+    # dedup join, shingle kernels) runs once, not once per action. That
+    # includes stage 0: the snapshot resolve is the single most expensive
+    # upstream, so `docs` itself is persisted before its count.
     from pyspark.storagelevel import StorageLevel
+
+    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    counts = {"state_rows": docs.count()}
 
     def _stage(frame, prev):
         frame = frame.persist(StorageLevel.MEMORY_AND_DISK)
@@ -86,7 +89,7 @@ def export_training_mix(
         .filter((F.col("repo") == F.col("_keep.repo")) & (F.col("path") == F.col("_keep.path")))
         .drop("_keep")
     )
-    deduped, counts["after_exact_dedup"] = _stage(deduped, None)
+    deduped, counts["after_exact_dedup"] = _stage(deduped, docs)
 
     # 2. decontamination against the benchmark/eval corpus
     if benchmark is not None:

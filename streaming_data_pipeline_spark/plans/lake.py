@@ -95,6 +95,7 @@ class SnapshotTable:
             "n_buckets": n_buckets,
             "schema": json.loads(schema.json()),
             "schema_log": [{"version": 0, "schema": json.loads(schema.json())}],
+            "bucket_log": [{"version": 0, "n_buckets": n_buckets}],
             "current_snapshot_id": 0,
             "snapshots": {"0": {"manifest": "manifest-0.json", "epoch": None, "operation": "create", "summary": {}}},
         }
@@ -147,8 +148,12 @@ class SnapshotTable:
 
     # ---------------- reads ----------------
 
-    def manifest(self, version: int | None = None) -> list[dict]:
-        meta = self.metadata(version)
+    def manifest(self, version: int | None = None, meta: dict | None = None) -> list[dict]:
+        """Data-file list of the snapshot current at ``version``. Pass an
+        already-loaded ``meta`` dict to skip re-reading v{N}.json (the
+        change-feed walk reads each version's metadata exactly once)."""
+        if meta is None:
+            meta = self.metadata(version)
         snap = meta["snapshots"][str(meta["current_snapshot_id"])]
         with open(os.path.join(self.meta_dir, snap["manifest"])) as f:
             return json.load(f)["files"]
@@ -246,9 +251,6 @@ class SnapshotTable:
 
     # ---------------- commits ----------------
 
-    def staging_dir(self, version: int) -> str:
-        return os.path.join(self.data_dir, f"snap-{version}")
-
     def new_staging_dir(self, tag: str = "stage") -> str:
         """Writer-unique staging dir: concurrent writers must never share
         a staging path (the commit decides who wins; the data files just
@@ -272,6 +274,7 @@ class SnapshotTable:
         column_renames: dict[str, str] | None = None,
         n_buckets: int | None = None,
         expected_n_buckets: int | None = None,
+        expected_version: int | None = None,
     ) -> int:
         """Atomically publish snapshot v+1 = (old manifest − replaced
         buckets) ∪ new_files. Returns the new version id.
@@ -286,9 +289,30 @@ class SnapshotTable:
         modulus since, this commit MUST fail (stale bucket ids would
         silently corrupt pruning) — and a version-race retry alone
         cannot catch it, because a rebucket that lands cleanly before
-        this commit leaves no v+1 conflict to trip over."""
+        this commit leaves no v+1 conflict to trip over.
+
+        ``expected_version``: the snapshot this writer READ its replaced
+        buckets from. A bucket-REPLACING commit built on a stale read
+        would silently drop any rows a concurrent writer appended to
+        those buckets since (the carried-files recompute below only
+        protects UNtouched buckets). If the replaced buckets' file set
+        changed between expected_version and now, this commit fails —
+        the Iceberg validate-no-conflicting-appends check."""
         v = self.current_version()
         meta = self.metadata(v)
+        if expected_version is not None and v != expected_version and replaced_buckets:
+            was = {
+                e["path"]
+                for e in self.manifest(expected_version)
+                if e["bucket"] in replaced_buckets
+            }
+            now = {e["path"] for e in self.manifest(v) if e["bucket"] in replaced_buckets}
+            if was != now:
+                raise RuntimeError(
+                    f"conflicting commit(s) touched {len(replaced_buckets)} "
+                    f"bucket(s) being replaced (read at v{expected_version}, "
+                    f"now v{v}); re-read and re-apply"
+                )
         if expected_n_buckets is not None and meta["n_buckets"] != expected_n_buckets:
             raise RuntimeError(
                 f"bucket layout changed concurrently ({expected_n_buckets} -> "
@@ -305,7 +329,9 @@ class SnapshotTable:
                     f"bucket-layout change requires replacing ALL buckets; "
                     f"{len(leftover)} carried over"
                 )
+            meta.setdefault("bucket_log", [{"version": 0, "n_buckets": meta["n_buckets"]}])
             meta["n_buckets"] = n_buckets
+            meta["bucket_log"].append({"version": v + 1, "n_buckets": n_buckets})
         carried = [e for e in self.manifest(v) if e["bucket"] not in replaced_buckets]
         files = carried + new_files
         nv = v + 1
@@ -383,6 +409,18 @@ class SnapshotTable:
         # schema (the log scan stops at the newest entry <= target)
         if not meta["schema_log"] or meta["schema_log"][-1]["schema"] != meta["schema"]:
             meta["schema_log"].append({"version": nv, "schema": meta["schema"]})
+        # the bucket MODULUS rolls back with the data too: the target
+        # manifest's bucket ids were computed under the modulus in effect
+        # at `version` — leaving a later rebucket's n_buckets in place
+        # would silently corrupt pruning (lookup hashes mod the new count
+        # against entries labeled under the old one) and misalign every
+        # subsequent append/merge. Same pin-plus-log-event rule as schema.
+        blog = meta.setdefault("bucket_log", [{"version": 0, "n_buckets": meta["n_buckets"]}])
+        for entry in blog:
+            if entry["version"] <= version:
+                meta["n_buckets"] = entry["n_buckets"]
+        if blog[-1]["n_buckets"] != meta["n_buckets"]:
+            blog.append({"version": nv, "n_buckets": meta["n_buckets"]})
         meta["snapshots"][str(nv)] = {
             "manifest": target["manifest"],
             "epoch": None,
@@ -421,7 +459,7 @@ class SnapshotTable:
         for v in range(v_from + 1, v_to + 1):
             meta_v = self.metadata(v)
             op = meta_v["snapshots"][str(meta_v["current_snapshot_id"])].get("operation")
-            cur = self.manifest(v)
+            cur = self.manifest(meta=meta_v)
             # a rollback republishes an OLD manifest: files it "re-adds"
             # (e.g. deltas a compaction had retired) were already
             # delivered when first committed — emitting them again would

@@ -40,14 +40,18 @@ def _rewrite_buckets(
     caller filters them, sorted by key."""
     if not buckets:
         return table.current_version()
-    df = table.read(spark, buckets=buckets, resolved=True)
+    # pin the read snapshot; commit(expected_version=...) fails the
+    # publish if ANY concurrent commit changed these buckets' file set
+    # since — a rewrite built on a stale read would drop those rows
+    read_version = table.current_version()
+    df = table.read(spark, version=read_version, buckets=buckets, resolved=True)
     if df_filter is not None:
         df = df.filter(df_filter)
     # writer-unique staging (see SnapshotTable.new_staging_dir): a
     # concurrent rewriter must lose at the COMMIT, never by silently
     # overwriting another writer's staged files
     staging = table.new_staging_dir(operation)
-    nb_at_write = table.n_buckets
+    nb_at_write = table.metadata(read_version)["n_buckets"]
     bucket = F.pmod(F.xxhash64(F.col("repo"), F.col("path")), F.lit(nb_at_write))
     (
         df.withColumn("_bucket", bucket)
@@ -64,6 +68,7 @@ def _rewrite_buckets(
         operation=operation,
         summary={"buckets": sorted(buckets)},
         expected_n_buckets=nb_at_write,
+        expected_version=read_version,
     )
 
 
@@ -140,8 +145,9 @@ def rebucket(spark: SparkSession, table: SnapshotTable, new_n_buckets: int) -> i
     effect at v for anyone computing bucket ids against a time-travel
     read); readers of the new snapshot and all future applies use the
     new modulus from current metadata."""
-    old_buckets = {e["bucket"] for e in table.manifest()}
-    df = table.read(spark, resolved=True)
+    read_version = table.current_version()
+    old_buckets = {e["bucket"] for e in table.manifest(read_version)}
+    df = table.read(spark, version=read_version, resolved=True)
     staging = table.new_staging_dir("rebucket")
     bucket = F.pmod(F.xxhash64(F.col("repo"), F.col("path")), F.lit(new_n_buckets))
     (
@@ -159,6 +165,7 @@ def rebucket(spark: SparkSession, table: SnapshotTable, new_n_buckets: int) -> i
         operation="rebucket",
         summary={"n_buckets": new_n_buckets, "from": len(old_buckets)},
         n_buckets=new_n_buckets,
+        expected_version=read_version,
     )
 
 
@@ -167,6 +174,19 @@ def expire_snapshots(table: SnapshotTable, keep_last: int = 2) -> list[str]:
     snapshot log. Returns the deleted file paths. Metadata files are
     kept (cheap, and they document history)."""
     meta = table.metadata()
+    # replay unfinished deletions first: a crash between a previous
+    # expiry's metadata publish and its unlink loop strands the files
+    # forever otherwise — the pruned snapshot log no longer names the
+    # expired versions (so they are never re-candidates), while the kept
+    # manifest history still references the files (so orphan cleanup
+    # won't touch them). Each expiry snapshot records its intended drop
+    # set; unlinking is idempotent, so replay costs nothing when clean.
+    for snap in meta["snapshots"].values():
+        if snap.get("operation") == "expire_snapshots":
+            for rel in snap["summary"].get("pending_deletes", []):
+                full = os.path.join(table.root, rel)
+                if os.path.exists(full):
+                    os.unlink(full)
     versions = sorted(int(v) for v in meta["snapshots"])
     retained = set(versions[-keep_last:])
     retained.add(meta["current_snapshot_id"])
@@ -206,7 +226,13 @@ def expire_snapshots(table: SnapshotTable, keep_last: int = 2) -> list[str]:
         "manifest": man,
         "epoch": None,
         "operation": "expire_snapshots",
-        "summary": {"deleted_files": len(drop_files), "retained": sorted(retained)},
+        "summary": {
+            "deleted_files": len(drop_files),
+            "retained": sorted(retained),
+            # intended deletes, published BEFORE any unlink: if this
+            # process dies mid-loop, the next expiry replays the list
+            "pending_deletes": sorted(drop_files),
+        },
     }
     meta["current_snapshot_id"] = nv
     # same first-writer-wins rule as SnapshotTable.commit: the expiry bump

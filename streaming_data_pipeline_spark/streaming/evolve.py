@@ -87,13 +87,13 @@ def evolve_and_promote(
     # (e.g. the table was rolled back to before the promotion): the key
     # must not vanish — revive the target column, still sourced from the
     # renamed key, instead of silently dropping the values
-    revived = sorted(
-        old
+    revived_src = {
+        old: nk
         for nk, old in known_renames.items()
         if old not in known_extras and counts.get(nk, 0) > 0
-    )
-    for old in revived:
-        src_for[old] = next(nk for nk, o in known_renames.items() if o == old)
+    }
+    revived = sorted(revived_src)
+    src_for.update(revived_src)
     new_keys = sorted(
         set(
             k
@@ -125,8 +125,16 @@ def evolve_and_promote(
                 val = F.coalesce(F.col("payload")[src_key], F.col("payload")[col_name])
             out = out.withColumn(col_name, val)
         for k in new_keys:
-            # revived rename targets source from the renamed payload key
-            out = out.withColumn(k, F.col("payload")[src_for.get(k, k)])
+            src_key = src_for.get(k, k)
+            if src_key == k:
+                val = F.col("payload")[k]
+            else:
+                # revived rename target: prefer the renamed payload key,
+                # but fall back to the original key so a transition batch
+                # mixing old- and new-producer rows loses neither side —
+                # same coalesce rule as the known-column rename path above
+                val = F.coalesce(F.col("payload")[src_key], F.col("payload")[k])
+            out = out.withColumn(k, val)
         out = out.drop("payload")
     else:
         for col_name in known_extras + new_keys:

@@ -30,7 +30,10 @@ def checkpoint_offsets(checkpoint_dir: str, batch_id: int) -> list[str]:
     best-effort only. Two layouts are read, matching what each source
     actually writes per batch:
       - file source: <ckpt>/sources/0/<batchId> (FileStreamSourceLog),
-        one JSON record per file, each with a "path";
+        one JSON record per file, each with a "path"; every
+        compactInterval batches the log is a <batchId>.compact file
+        holding all history (entries batchId-tagged), read instead when
+        the plain per-batch file is absent;
       - Kafka (and other offset-based sources): the engine's OffsetSeqLog
         at <ckpt>/offsets/<batchId> — a version line, one metadata JSON
         line, then one offset JSON per source; a Kafka source's entry is
@@ -43,31 +46,64 @@ def checkpoint_offsets(checkpoint_dir: str, batch_id: int) -> list[str]:
     import json as _json
     import os as _os
 
-    files: list[str] = []
-    p = _os.path.join(checkpoint_dir, "sources", "0", str(batch_id))
-    try:
-        with open(p) as f:
+    def _file_entries(path: str, only_batch: int | None) -> list[str]:
+        out: list[str] = []
+        with open(path) as f:
             for line in f:
                 line = line.strip()
                 if not line or line.startswith("v"):
                     continue
                 rec = _json.loads(line)
                 if isinstance(rec, dict) and "path" in rec:
-                    files.append(rec["path"])
+                    # compact files hold ALL entries seen so far, each
+                    # tagged with the batch it arrived in
+                    if only_batch is None or rec.get("batchId") == only_batch:
+                        out.append(rec["path"])
+        return out
+
+    files: list[str] = []
+    src_dir = _os.path.join(checkpoint_dir, "sources", "0")
+    try:
+        files = _file_entries(_os.path.join(src_dir, str(batch_id)), None)
     except OSError:
-        pass
+        # FileStreamSourceLog compacts every compactInterval batches
+        # (default 10): batch K's log is written as K.compact holding ALL
+        # history with per-entry batchId tags, and older plain files are
+        # eventually deleted — so every compact-boundary batch (and any
+        # batch older than the retained window) only exists inside the
+        # first compact file at or after it.
+        try:
+            compacts = sorted(
+                int(fn[: -len(".compact")])
+                for fn in _os.listdir(src_dir)
+                if fn.endswith(".compact") and fn[: -len(".compact")].isdigit()
+            )
+        except OSError:
+            compacts = []
+        for k in compacts:
+            if k >= batch_id:
+                try:
+                    files = _file_entries(_os.path.join(src_dir, f"{k}.compact"), batch_id)
+                except OSError:
+                    pass
+                break
     if files:
         return files
     # offset-based sources: OffsetSeqLog
     p = _os.path.join(checkpoint_dir, "offsets", str(batch_id))
     try:
         with open(p) as f:
-            lines = [ln.strip() for ln in f if ln.strip()]
+            lines = [ln.rstrip("\n") for ln in f]
     except OSError:
         return files
-    # line 0 is the version ("v1"), line 1 the batch metadata JSON
-    # ({batchWatermarkMs,...}); each later line is one source's offsets
+    # line 0 is the version ("v1"); line 1 the batch metadata JSON — an
+    # EMPTY line when OffsetSeq carries no metadata (serialized as
+    # getOrElse("")), so blank lines must survive until AFTER the slice
+    # or the first source's offsets shift into the metadata slot; each
+    # later line is one source's offsets ("-" for an absent offset)
     for line in lines[2:]:
+        if not line.strip() or line == "-":
+            continue
         try:
             rec = _json.loads(line)
         except ValueError:

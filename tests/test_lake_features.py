@@ -230,3 +230,72 @@ def test_commit_rejects_stale_bucket_modulus(spark, tmp_path):
             new_files=[], replaced_buckets=set(), operation="append_delta",
             expected_n_buckets=nb_seen_by_writer,
         )
+
+
+def test_rollback_past_rebucket_restores_modulus(spark, tmp_path):
+    """Rolling back over a rebucket must restore the modulus the target
+    manifest's bucket ids were computed under — otherwise lookups hash
+    mod the NEW count against entries labeled under the old one and
+    silently miss existing keys (review r2 finding: the bucket-layout
+    analog of the schema pin)."""
+    from streaming_data_pipeline_spark.plans.maintenance import rebucket
+
+    table = SnapshotTable.create(str(tmp_path / "rbb"), LAKE_BASE, n_buckets=4)
+    apply_changes(
+        spark, table,
+        _batch(spark, [_ev("insert", f"f{i}.py", i + 1) for i in range(40)]),
+        0,
+    )
+    v_pre = table.current_version()
+    h_pre = table.state_hash(spark)
+
+    v_rb = rebucket(spark, table, 16)
+    assert table.n_buckets == 16
+
+    table.rollback(v_pre)
+    assert table.n_buckets == 4  # modulus rolled back with the manifest
+    assert table.state_hash(spark) == h_pre
+    # point lookup prunes under the RESTORED modulus and finds the key
+    got = table.lookup(spark, "r", "f7.py").collect()
+    assert len(got) == 1 and got[0]["lsn"] == 8
+    # appends after the rollback keep working under the old modulus
+    apply_changes(spark, table, _batch(spark, [_ev("insert", "g.py", 900)]), 1)
+    assert table.lookup(spark, "r", "g.py").count() == 1
+
+    # rolling FORWARD to the rebucketed snapshot restores the new modulus
+    table.rollback(v_rb)
+    assert table.n_buckets == 16
+    assert len(table.lookup(spark, "r", "f7.py").collect()) == 1
+
+
+def test_bucket_replacing_commit_rejects_concurrent_append(spark, tmp_path):
+    """A bucket-REPLACING commit (compaction/COW merge) built on a stale
+    read must fail if a concurrent commit added files to the replaced
+    buckets since — carrying only the rewriter's files would silently
+    drop the concurrent rows (review r2 finding)."""
+    import pytest
+
+    from streaming_data_pipeline_spark.operators.merge import append_delta
+
+    table = SnapshotTable.create(str(tmp_path / "cc"), LAKE_BASE, n_buckets=2)
+    append_delta(spark, table, _batch(spark, [_ev("insert", f"f{i}.py", i + 1) for i in range(8)]))
+    v_read = table.current_version()
+    touched = {e["bucket"] for e in table.manifest(v_read)}
+
+    # concurrent append lands between the rewriter's read and its commit
+    append_delta(spark, table, _batch(spark, [_ev("insert", "late.py", 99)]))
+
+    with pytest.raises(RuntimeError, match="conflicting commit"):
+        table.commit(
+            new_files=[],
+            replaced_buckets=touched,
+            operation="compact",
+            expected_version=v_read,
+        )
+
+    # ...and the end-to-end rewrite path still succeeds on a fresh read
+    from streaming_data_pipeline_spark.plans.maintenance import compact
+
+    h = table.state_hash(spark)
+    compact(spark, table, max_files_per_bucket=1)
+    assert table.state_hash(spark) == h

@@ -93,3 +93,46 @@ def test_purge_tombstones(spark, tmp_path):
     maintenance.purge_tombstones(spark, table, lsn_horizon=10**9)
     assert table.read(spark).filter(F.col("_deleted")).count() == 0
     assert table.state_hash(spark) == h0  # live view unaffected
+
+
+def test_expire_replays_pending_deletes_after_crash(spark, tmp_path, monkeypatch):
+    """A crash between the expiry's metadata publish and its unlink loop
+    must not strand files forever: the published expiry snapshot records
+    its intended drop set, and the next expiry replays it (review r2
+    finding — the pruned log no longer names the expired versions, and
+    kept manifests still reference the files, so nothing else can ever
+    reclaim them)."""
+    table = _build(spark, str(tmp_path / "m6"))
+    maintenance.compact(spark, table, max_files_per_bucket=1)
+
+    real_unlink = os.unlink
+
+    def boom(path, *a, **k):
+        if str(path).endswith(".parquet"):
+            raise OSError("injected crash mid-delete")
+        return real_unlink(path, *a, **k)
+
+    monkeypatch.setattr(maintenance.os, "unlink", boom)
+    try:
+        maintenance.expire_snapshots(table, keep_last=1)
+        raise AssertionError("injected crash did not fire")
+    except OSError:
+        pass
+    monkeypatch.setattr(maintenance.os, "unlink", real_unlink)
+
+    # metadata was published (expiry snapshot exists, log pruned)...
+    meta = table.metadata()
+    exp = [s for s in meta["snapshots"].values() if s["operation"] == "expire_snapshots"]
+    assert exp and exp[-1]["summary"]["pending_deletes"]
+    # ...but the files survived the crash
+    stranded = [
+        rel for rel in exp[-1]["summary"]["pending_deletes"]
+        if os.path.exists(os.path.join(table.root, rel))
+    ]
+    assert stranded, "crash should have left undeleted files"
+
+    # the next expiry replays the pending list before its own work
+    maintenance.expire_snapshots(table, keep_last=1)
+    for rel in stranded:
+        assert not os.path.exists(os.path.join(table.root, rel))
+    assert table.current_state(spark).count() > 0

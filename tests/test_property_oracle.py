@@ -57,13 +57,19 @@ def _to_row(e: dict, i: int) -> tuple:
 )
 @given(events=st.lists(event_st, min_size=1, max_size=25))
 def test_random_streams_match_oracle(spark, tmp_path_factory, mode, events):
-    # canonicalize: content must be deterministic per (key, lsn) so
-    # duplicate deliveries are byte-identical (engine tie-break contract)
-    canon = {}
+    # canonicalize: the WHOLE event must be deterministic per (key, lsn)
+    # so duplicate deliveries are byte-identical rows (at-least-once
+    # redelivery contract). Op included: a delete and an update sharing
+    # one (key, lsn, commit) is a broken WAL — the oracle would break
+    # that tie by list arrival order, which no distributed engine can
+    # observe, and (lsn, commit) is the engine's documented total order
+    # per key.
+    canon: dict = {}
     fixed = []
     for e in events:
         k = (e["repo"], e["path"], e["lsn"])
-        e = dict(e, content=canon.setdefault(k, e["content"]))
+        op, content = canon.setdefault(k, (e["op"], e["content"]))
+        e = dict(e, op=op, content=content)
         fixed.append(e)
 
     rows = [_to_row(e, i) for i, e in enumerate(fixed)]

@@ -164,3 +164,24 @@ def test_persisted_rename_with_absent_target_revives_column(spark):
     row = out.collect()[0]
     assert row["stars"] == "7"
     assert "stargazers" not in out.columns
+
+
+def test_revived_rename_transition_batch_keeps_both_producers(spark):
+    """A revived rename column must coalesce across BOTH payload keys: a
+    transition batch mixing old-producer rows ({'stars': ...}) and
+    new-producer rows ({'stargazers': ...}) loses neither side (review
+    r2 finding — the revived path previously sourced only the renamed
+    key, nulling old-producer values)."""
+    batch = spark.createDataFrame(
+        [
+            _ev("insert", "r", "new.py", 9, {"stargazers": "7"}),
+            _ev("insert", "r", "old.py", 8, {"stars": "5"}),
+        ],
+        CH,
+    )
+    out, new_schema, report = evolve_and_promote(
+        batch, LAKE_BASE, known_renames={"stargazers": "stars"}
+    )
+    assert report["added_columns"] == ["stars"]
+    vals = {r["path"]: r["stars"] for r in out.collect()}
+    assert vals == {"new.py": "7", "old.py": "5"}

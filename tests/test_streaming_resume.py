@@ -124,3 +124,49 @@ def test_processing_time_soak_trigger(spark, tmp_path, wal_dir):
         assert t.current_state(spark).count() == n0 + 1
     finally:
         q.stop()
+
+
+def test_checkpoint_offsets_reads_compacted_file_log(tmp_path):
+    """FileStreamSourceLog rewrites every compactInterval-th batch as
+    <K>.compact (all history, batchId-tagged) and deletes old plain
+    files — lineage for those batches must come from the compact file
+    (review r2 finding: every 10th epoch got empty lineage)."""
+    import json
+
+    from streaming_data_pipeline_spark.streaming.stream import checkpoint_offsets
+
+    src = tmp_path / "ck" / "sources" / "0"
+    src.mkdir(parents=True)
+    # batch 9 was compacted: no plain file "9", only "9.compact" holding
+    # batches 0..9 with per-entry batchId tags
+    entries = [
+        {"path": f"file:///wal/epoch-{b}.parquet", "timestamp": 1, "batchId": b}
+        for b in range(10)
+    ]
+    (src / "9.compact").write_text(
+        "v1\n" + "\n".join(json.dumps(e) for e in entries)
+    )
+    got = checkpoint_offsets(str(tmp_path / "ck"), 9)
+    assert got == ["file:///wal/epoch-9.parquet"]
+    # a batch INSIDE the compacted window (plain file already deleted)
+    got = checkpoint_offsets(str(tmp_path / "ck"), 3)
+    assert got == ["file:///wal/epoch-3.parquet"]
+
+
+def test_checkpoint_offsets_kafka_blank_metadata_line(tmp_path):
+    """OffsetSeq serializes absent metadata as an EMPTY line; the parser
+    must not collapse blank lines before slicing or the first source's
+    offsets shift into the metadata slot and vanish (review r2
+    finding)."""
+    from streaming_data_pipeline_spark.streaming.stream import checkpoint_offsets
+
+    off = tmp_path / "ck2" / "offsets"
+    off.mkdir(parents=True)
+    (off / "4").write_text('v1\n\n{"events":{"0":120,"1":95}}\n')
+    got = checkpoint_offsets(str(tmp_path / "ck2"), 4)
+    assert got == ["events:0:120", "events:1:95"]
+    # the usual layout (metadata present) still parses
+    (off / "5").write_text(
+        'v1\n{"batchWatermarkMs":0,"batchTimestampMs":1}\n{"t":{"0":7}}\n'
+    )
+    assert checkpoint_offsets(str(tmp_path / "ck2"), 5) == ["t:0:7"]
