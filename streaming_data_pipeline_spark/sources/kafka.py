@@ -67,6 +67,28 @@ def parse_kafka_records(raw: DataFrame) -> DataFrame:
     return parsed.select("e.*")
 
 
+def to_kafka_records(df: DataFrame, key_cols: tuple[str, ...] = ("repo", "path")) -> DataFrame:
+    """CHANGE_EVENT rows → the Kafka PRODUCER frame (key, value) the
+    `kafka` sink expects (S3, reference: src/producer.py:127-163).
+
+    The reference publishes UNKEYED JSON and relies on topic-level
+    ordering; Kafka only orders within a partition, so at CDC scale the
+    record key MUST carry the entity identity — keying by (repo, path)
+    lands every change of a key in one partition, preserving LSN order
+    end-to-end without a global sort. The value is canonical JSON that
+    `parse_kafka_records` round-trips losslessly (pinned by
+    tests/test_kafka_contract.py), so producer → consumer is an
+    identity on valid CHANGE_EVENT rows. Usage:
+
+        to_kafka_records(df).write.format("kafka").options(
+            **{"kafka.bootstrap.servers": servers, "topic": topic}).save()
+    """
+    return df.select(
+        F.concat_ws("|", *[F.col(c) for c in key_cols]).alias("key"),
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value"),
+    )
+
+
 def kafka_dlq_sink_options(bootstrap_servers: str, topic: str = "dead-letter") -> dict:
     """writeStream options for mirroring the DLQ table to a Kafka topic
     (reference keeps a dead-letter TOPIC, src/utils.py:44-49; our DLQ

@@ -97,3 +97,43 @@ def test_offsets_for_parses_kafka_offset_map(tmp_path):
     assert kafka == ["change-events:0:120", "change-events:1:95"]
     assert files == ["file:///wal/f1.parquet", "file:///wal/f2.parquet"]
     assert stream_mod.checkpoint_offsets(str(tmp_path / "ckpt"), 9) == []
+
+
+def test_producer_roundtrip_is_lossless(spark):
+    """S3 producer contract: to_kafka_records serializes CHANGE_EVENT
+    rows to keyed JSON, and the consumer's parse_kafka_records restores
+    them byte-for-byte — producer → consumer is an identity on valid
+    rows (incl. payload maps and nulls), and the record key carries the
+    (repo, path) entity identity so Kafka's per-partition ordering
+    preserves each key's LSN order end-to-end."""
+    import pyspark.sql.functions as F
+
+    from streaming_data_pipeline_spark.schemas import CHANGE_EVENT
+    from streaming_data_pipeline_spark.sources.kafka import to_kafka_records
+
+    rows = [
+        ("insert", "r1", "a.py", "c1", "python", "x = 1", 1, None, {"stars": "3"}),
+        ("update", "r1", "a.py", "c2", "python", "x = 2", 2, None, None),
+        ("delete", "r2", "b.py", "c3", "go", None, 3, None, {"review_state": "ok"}),
+    ]
+    df = spark.createDataFrame(rows, CHANGE_EVENT)
+
+    prod = to_kafka_records(df)
+    assert set(prod.columns) == {"key", "value"}
+    keys = {r["key"] for r in prod.select("key").collect()}
+    assert keys == {"r1|a.py", "r2|b.py"}  # entity identity, not random
+
+    # feed the produced records back through the consumer parse stage
+    raw = prod.select(
+        F.col("value").cast("binary").alias("value"),
+        F.lit("change-events").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+    )
+    back = parse_kafka_records(raw)
+    orig = {tuple(r) for r in df.drop("payload").collect()}
+    got = {tuple(r) for r in back.drop("payload").collect()}
+    assert got == orig
+    # payload maps survive too
+    pl = {(r["lsn"], tuple(sorted((r["payload"] or {}).items()))) for r in back.collect()}
+    assert pl == {(1, (("stars", "3"),)), (2, ()), (3, (("review_state", "ok"),))}
