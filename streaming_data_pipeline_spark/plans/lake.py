@@ -300,13 +300,14 @@ class SnapshotTable:
         the Iceberg validate-no-conflicting-appends check."""
         v = self.current_version()
         meta = self.metadata(v)
+        cur_entries = self.manifest(meta=meta)  # read once; reused below
         if expected_version is not None and v != expected_version and replaced_buckets:
             was = {
                 e["path"]
                 for e in self.manifest(expected_version)
                 if e["bucket"] in replaced_buckets
             }
-            now = {e["path"] for e in self.manifest(v) if e["bucket"] in replaced_buckets}
+            now = {e["path"] for e in cur_entries if e["bucket"] in replaced_buckets}
             if was != now:
                 raise RuntimeError(
                     f"conflicting commit(s) touched {len(replaced_buckets)} "
@@ -323,7 +324,7 @@ class SnapshotTable:
             merged.update(column_renames)
             meta["column_renames"] = merged
         if n_buckets is not None and n_buckets != meta["n_buckets"]:
-            leftover = {e["bucket"] for e in self.manifest(v)} - set(replaced_buckets)
+            leftover = {e["bucket"] for e in cur_entries} - set(replaced_buckets)
             if leftover:
                 raise ValueError(
                     f"bucket-layout change requires replacing ALL buckets; "
@@ -332,7 +333,7 @@ class SnapshotTable:
             meta.setdefault("bucket_log", [{"version": 0, "n_buckets": meta["n_buckets"]}])
             meta["n_buckets"] = n_buckets
             meta["bucket_log"].append({"version": v + 1, "n_buckets": n_buckets})
-        carried = [e for e in self.manifest(v) if e["bucket"] not in replaced_buckets]
+        carried = [e for e in cur_entries if e["bucket"] not in replaced_buckets]
         files = carried + new_files
         nv = v + 1
         # manifests are published exclusively too; a concurrent writer (or
@@ -415,6 +416,17 @@ class SnapshotTable:
         # would silently corrupt pruning (lookup hashes mod the new count
         # against entries labeled under the old one) and misalign every
         # subsequent append/merge. Same pin-plus-log-event rule as schema.
+        if "bucket_log" not in meta and any(
+            s.get("operation") == "rebucket" for s in meta["snapshots"].values()
+        ):
+            # a pre-bucket_log table that WAS rebucketed: seeding the log
+            # with the current modulus would silently restore the wrong
+            # one past that rebucket (mod-N hashes against mod-M labels,
+            # every lookup misses) — refuse rather than guess
+            raise RuntimeError(
+                "table has rebucket history but no bucket_log; cannot "
+                "determine the modulus in effect at the target version"
+            )
         blog = meta.setdefault("bucket_log", [{"version": 0, "n_buckets": meta["n_buckets"]}])
         for entry in blog:
             if entry["version"] <= version:

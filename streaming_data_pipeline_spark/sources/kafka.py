@@ -24,6 +24,13 @@ from pyspark.sql import functions as F
 
 from ..schemas import CHANGE_EVENT
 
+# Spark's default JSON timestampFormat carries MILLISECONDS only; a
+# to_json -> from_json round trip would silently truncate microsecond
+# event times, breaking producer->consumer replay equality. Both sides
+# of the wire format pin the full precision.
+_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+_JSON_OPTS = {"timestampFormat": _TS_FMT}
+
 
 def kafka_change_stream(
     spark: SparkSession,
@@ -59,7 +66,7 @@ def parse_kafka_records(raw: DataFrame) -> DataFrame:
     DLQ by the normal validation split — covered by
     tests/test_kafka_contract.py."""
     parsed = raw.select(
-        F.from_json(F.col("value").cast("string"), CHANGE_EVENT).alias("e"),
+        F.from_json(F.col("value").cast("string"), CHANGE_EVENT, _JSON_OPTS).alias("e"),
         F.col("topic"),
         F.col("partition"),
         F.col("offset"),
@@ -84,8 +91,12 @@ def to_kafka_records(df: DataFrame, key_cols: tuple[str, ...] = ("repo", "path")
             **{"kafka.bootstrap.servers": servers, "topic": topic}).save()
     """
     return df.select(
-        F.concat_ws("|", *[F.col(c) for c in key_cols]).alias("key"),
-        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value"),
+        # structural key, not a delimiter join: '|' inside repo/path (or a
+        # null component, which concat_ws silently skips) would collide
+        # distinct entities — fatal on a log-compacted topic where the key
+        # decides which record survives
+        F.to_json(F.struct(*[F.col(c) for c in key_cols])).alias("key"),
+        F.to_json(F.struct(*[F.col(c) for c in df.columns]), _JSON_OPTS).alias("value"),
     )
 
 

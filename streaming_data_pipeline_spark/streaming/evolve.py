@@ -78,22 +78,27 @@ def evolve_and_promote(
     known_renames = dict(known_renames or {})
     known_extras = [f.name for f in table_schema.fields if f.name not in LAKE_BASE_COLS]
     counts = payload_key_counts(df)
-    # effective payload source key per existing column (persisted renames win)
-    src_for = {c: c for c in known_extras}
+    # effective payload source keys per existing column, as an ordered
+    # COALESCE CHAIN, not a single winner: a column renamed more than once
+    # across epochs has several persisted keys mapping to it, and a
+    # transition batch can carry rows from EVERY producer generation at
+    # once — each generation's values must land. known_renames preserves
+    # acceptance order (commit() merges newer entries last), so the chain
+    # prefers the newest key and falls back generation by generation to
+    # the column name itself.
+    srcs_for = {c: [c] for c in known_extras}
     for nk, old in known_renames.items():
-        if old in src_for:
-            src_for[old] = nk
+        if old in srcs_for:
+            srcs_for[old].insert(0, nk)
     # a persisted rename whose TARGET column is missing from the schema
     # (e.g. the table was rolled back to before the promotion): the key
     # must not vanish — revive the target column, still sourced from the
-    # renamed key, instead of silently dropping the values
-    revived_src = {
-        old: nk
-        for nk, old in known_renames.items()
-        if old not in known_extras and counts.get(nk, 0) > 0
-    }
-    revived = sorted(revived_src)
-    src_for.update(revived_src)
+    # renamed key(s), instead of silently dropping the values
+    revived_srcs: dict[str, list[str]] = {}
+    for nk, old in known_renames.items():
+        if old not in known_extras and counts.get(nk, 0) > 0:
+            revived_srcs.setdefault(old, []).insert(0, nk)
+    revived = sorted(revived_srcs)
     new_keys = sorted(
         set(
             k
@@ -103,38 +108,30 @@ def evolve_and_promote(
         | set(revived)
     )
     silent = sorted(
-        c for c in known_extras if counts.get(src_for[c], 0) == 0 and counts.get(c, 0) == 0
+        c for c in known_extras if all(counts.get(k, 0) == 0 for k in srcs_for[c])
     )
 
     renames: dict[str, str] = {}
     if detect_renames and len(new_keys) == 1 and len(silent) == 1 and new_keys[0] not in revived:
         renames = {new_keys[0]: silent[0]}
-        src_for[silent[0]] = new_keys[0]
+        srcs_for[silent[0]].insert(0, new_keys[0])
         log.warning("schema-evolution: treating payload key %r as rename of column %r", new_keys[0], silent[0])
         new_keys = []
+
+    def _chain(keys: list[str]):
+        if len(keys) == 1:
+            return F.col("payload")[keys[0]]
+        return F.coalesce(*[F.col("payload")[k] for k in keys])
 
     out = df
     if "payload" in df.columns:
         for col_name in known_extras:
-            src_key = src_for[col_name]
-            if src_key == col_name:
-                val = F.col("payload")[col_name]
-            else:
-                # renamed: prefer the new key, fall back to the old one so a
-                # transition batch carrying both keys loses nothing
-                val = F.coalesce(F.col("payload")[src_key], F.col("payload")[col_name])
-            out = out.withColumn(col_name, val)
+            out = out.withColumn(col_name, _chain(srcs_for[col_name]))
         for k in new_keys:
-            src_key = src_for.get(k, k)
-            if src_key == k:
-                val = F.col("payload")[k]
-            else:
-                # revived rename target: prefer the renamed payload key,
-                # but fall back to the original key so a transition batch
-                # mixing old- and new-producer rows loses neither side —
-                # same coalesce rule as the known-column rename path above
-                val = F.coalesce(F.col("payload")[src_key], F.col("payload")[k])
-            out = out.withColumn(k, val)
+            # revived rename target: same coalesce-chain rule — newest
+            # renamed key first, down to the original column key, so a
+            # transition batch mixing producer generations loses nothing
+            out = out.withColumn(k, _chain(revived_srcs.get(k, []) + [k]))
         out = out.drop("payload")
     else:
         for col_name in known_extras + new_keys:

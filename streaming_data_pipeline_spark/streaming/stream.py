@@ -80,13 +80,17 @@ def checkpoint_offsets(checkpoint_dir: str, batch_id: int) -> list[str]:
             )
         except OSError:
             compacts = []
+        # every compact >= batch_id contains the batch's entries; a later
+        # one may have replaced (deleted) the first between listdir and
+        # open, so keep trying rather than silently settling for empty
+        # lineage on one OSError
         for k in compacts:
             if k >= batch_id:
                 try:
                     files = _file_entries(_os.path.join(src_dir, f"{k}.compact"), batch_id)
+                    break
                 except OSError:
-                    pass
-                break
+                    continue
     if files:
         return files
     # offset-based sources: OffsetSeqLog

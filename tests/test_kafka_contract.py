@@ -111,17 +111,28 @@ def test_producer_roundtrip_is_lossless(spark):
     from streaming_data_pipeline_spark.schemas import CHANGE_EVENT
     from streaming_data_pipeline_spark.sources.kafka import to_kafka_records
 
+    from datetime import datetime
+
+    micro_ts = datetime(2026, 8, 16, 12, 0, 0, 123456)
     rows = [
-        ("insert", "r1", "a.py", "c1", "python", "x = 1", 1, None, {"stars": "3"}),
+        ("insert", "r1", "a.py", "c1", "python", "x = 1", 1, micro_ts, {"stars": "3"}),
         ("update", "r1", "a.py", "c2", "python", "x = 2", 2, None, None),
         ("delete", "r2", "b.py", "c3", "go", None, 3, None, {"review_state": "ok"}),
+        # delimiter-adversarial entity: a naive "repo|path" join would
+        # collide ("r2|b" + ".py" vs "r2" + "b.py") — the structural JSON
+        # key must keep them distinct
+        ("insert", "r2|b", ".py", "c4", "go", "y", 4, None, None),
     ]
     df = spark.createDataFrame(rows, CHANGE_EVENT)
 
     prod = to_kafka_records(df)
     assert set(prod.columns) == {"key", "value"}
     keys = {r["key"] for r in prod.select("key").collect()}
-    assert keys == {"r1|a.py", "r2|b.py"}  # entity identity, not random
+    assert keys == {
+        '{"repo":"r1","path":"a.py"}',
+        '{"repo":"r2","path":"b.py"}',
+        '{"repo":"r2|b","path":".py"}',
+    }  # structural entity identity: 4 rows, 3 distinct keys, no collisions
 
     # feed the produced records back through the consumer parse stage
     raw = prod.select(
@@ -133,7 +144,13 @@ def test_producer_roundtrip_is_lossless(spark):
     back = parse_kafka_records(raw)
     orig = {tuple(r) for r in df.drop("payload").collect()}
     got = {tuple(r) for r in back.drop("payload").collect()}
-    assert got == orig
+    assert got == orig  # incl. the MICROSECOND ts — default JSON
+    # timestampFormat is millis-only and would truncate .123456 to .123
     # payload maps survive too
     pl = {(r["lsn"], tuple(sorted((r["payload"] or {}).items()))) for r in back.collect()}
-    assert pl == {(1, (("stars", "3"),)), (2, ()), (3, (("review_state", "ok"),))}
+    assert pl == {
+        (1, (("stars", "3"),)),
+        (2, ()),
+        (3, (("review_state", "ok"),)),
+        (4, ()),
+    }

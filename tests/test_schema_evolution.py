@@ -185,3 +185,51 @@ def test_revived_rename_transition_batch_keeps_both_producers(spark):
     assert report["added_columns"] == ["stars"]
     vals = {r["path"]: r["stars"] for r in out.collect()}
     assert vals == {"new.py": "7", "old.py": "5"}
+
+
+def test_chained_renames_coalesce_all_generations(spark):
+    """A column renamed TWICE across epochs has two persisted keys
+    mapping to it; a transition batch carrying rows from every producer
+    generation (oldest column key, middle key, newest key) must land
+    all three — a single-winner source would null the middle
+    generation (review r2 finding). Newest key wins when a row carries
+    several."""
+    batch = spark.createDataFrame(
+        [
+            _ev("insert", "r", "gen0.py", 1, {"stars": "1"}),
+            _ev("insert", "r", "gen1.py", 2, {"stargazers": "2"}),
+            _ev("insert", "r", "gen2.py", 3, {"star_count": "3"}),
+            _ev("insert", "r", "both.py", 4, {"stargazers": "9", "star_count": "4"}),
+        ],
+        CH,
+    )
+    schema = T.StructType(
+        list(LAKE_BASE.fields) + [T.StructField("stars", T.StringType(), True)]
+    )
+    # acceptance order: stargazers accepted first, star_count later (newest)
+    out, _, report = evolve_and_promote(
+        batch, schema,
+        known_renames={"stargazers": "stars", "star_count": "stars"},
+    )
+    assert report["added_columns"] == []
+    vals = {r["path"]: r["stars"] for r in out.collect()}
+    assert vals == {"gen0.py": "1", "gen1.py": "2", "gen2.py": "3", "both.py": "4"}
+
+
+def test_chained_renames_on_revived_column(spark):
+    """The revived-column path honors the same all-generations chain."""
+    batch = spark.createDataFrame(
+        [
+            _ev("insert", "r", "g1.py", 1, {"stargazers": "2"}),
+            _ev("insert", "r", "g2.py", 2, {"star_count": "3"}),
+            _ev("insert", "r", "g0.py", 3, {"stars": "1"}),
+        ],
+        CH,
+    )
+    out, new_schema, report = evolve_and_promote(
+        batch, LAKE_BASE,
+        known_renames={"stargazers": "stars", "star_count": "stars"},
+    )
+    assert report["added_columns"] == ["stars"]
+    vals = {r["path"]: r["stars"] for r in out.collect()}
+    assert vals == {"g0.py": "1", "g1.py": "2", "g2.py": "3"}
