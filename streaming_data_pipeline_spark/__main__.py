@@ -33,6 +33,11 @@ def main(argv: list[str] | None = None) -> int:
     run_p.add_argument("--n-buckets", type=int, default=256)
     run_p.add_argument("--soak", help="processingTime trigger, e.g. '10 seconds'")
     run_p.add_argument("--compact-every", type=int, default=8)
+    run_p.add_argument(
+        "--max-files-per-trigger", type=int, default=None,
+        help="microbatch size cap (WAL files per epoch); default drains "
+        "availableNow in engine-chosen batches",
+    )
 
     for name in ("compact", "metrics", "lineage", "remove-orphans"):
         sp = sub.add_parser(name)
@@ -85,6 +90,7 @@ def main(argv: list[str] | None = None) -> int:
             mode=args.mode,
             processing_time=args.soak,
             compact_every=args.compact_every,
+            max_files_per_trigger=args.max_files_per_trigger,
             source=source,
         )
         q.awaitTermination()
