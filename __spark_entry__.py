@@ -110,24 +110,30 @@ def q_cdc_lww_dedup(spark, sf_dir):
 def q_cdc_final_state(spark, sf_dir):
     """Flagship: the full engine — batch apply into a real snapshot table
     (validate → DLQ → evolve → LWW → MERGE) and read back the live view."""
+    import atexit
+
     changes = changes_from_events(_t(spark, sf_dir, "events")).drop("epoch")
     tmp = tempfile.mkdtemp(prefix="sdp_lake_")
-    try:
-        table = SnapshotTable.create(f"{tmp}/lake", LAKE_BASE, n_buckets=16)
-        apply_changes(spark, table, changes, epoch=0)
-        state = table.current_state(spark).select(
-            "repo",
-            "path",
-            "commit",
-            "lang",
-            F.sha2(F.col("content"), 256).alias("content_sha"),
-            "lsn",
-        )
-        # materialize DISTRIBUTED (executor block storage) before the
-        # backing files are removed — no driver-side collect of the table
-        return state.localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    # the lake outlives this call (removed at interpreter exit, not here):
+    # localCheckpoint blocks are NON-reliable storage, so deleting the
+    # backing parquet immediately would leave the returned DataFrame
+    # unrecomputable after any block/executor loss — safe only in
+    # single-process local mode, and the driver may hash it much later
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    table = SnapshotTable.create(f"{tmp}/lake", LAKE_BASE, n_buckets=16)
+    apply_changes(spark, table, changes, epoch=0)
+    state = table.current_state(spark).select(
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        F.sha2(F.col("content"), 256).alias("content_sha"),
+        "lsn",
+    )
+    # materialize DISTRIBUTED (executor block storage) up front — no
+    # driver-side collect of the table, and no re-run of the apply when
+    # the driver later acts on the result
+    return state.localCheckpoint(eager=True)
 
 
 def q_cdc_epoch_metrics(spark, sf_dir):
@@ -573,6 +579,27 @@ _LWW_CTE = (
 _TOKS = "regexp_split_to_array(trim(text), '\\s+')"
 
 
+def _shingles_sql(
+    toks: str, sh: str, *, where: str = "", distinct: bool = True, with_id: bool = True
+) -> str:
+    """The 3-gram shingle CTE pair shared by every shingle-based oracle
+    (ngram Jaccard, minhash-sha, contamination, repetition) — ONE
+    definition so a semantics fix (token filter, short-doc branch)
+    cannot silently desynchronize one oracle from the shared Spark
+    kernel (operators/dedup_text.shingle_rows)."""
+    d = "DISTINCT " if distinct else ""
+    i = "doc_id, " if with_id else ""
+    return f"""{toks} AS (
+              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+              FROM documents{where}),
+            {sh} AS (
+              SELECT {d}{i}s AS shingle FROM {toks},
+              UNNEST(CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                          ELSE [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                FOR i IN generate_series(1, len(t) - 2)] END) AS u(s)
+              WHERE s <> '')"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "cdc_validate_split_valid": f"""
@@ -749,16 +776,8 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_copies
             FROM documents GROUP BY 1
         """,
-        "dedup_ngram_jaccard": """
-            WITH toks AS (
-              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
-              FROM documents),
-            sh AS (
-              SELECT DISTINCT doc_id, s AS shingle FROM toks,
-              UNNEST(CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
-                          ELSE [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-                                FOR i IN generate_series(1, len(t) - 2)] END) AS u(s)
-              WHERE s <> ''),
+        "dedup_ngram_jaccard": f"""
+            WITH {_shingles_sql("toks", "sh")},
             sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
             -- document-frequency prefix filter (same cap as the Spark
             -- operator's max_shingle_df=1000): ubiquitous shingles are
@@ -778,16 +797,8 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5
         """,
-        "dedup_minhash_lsh_sha": """
-            WITH toks AS (
-              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
-              FROM documents),
-            sh AS (
-              SELECT DISTINCT doc_id, s AS shingle FROM toks,
-              UNNEST(CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
-                          ELSE [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-                                FOR i IN generate_series(1, len(t) - 2)] END) AS u(s)
-              WHERE s <> ''),
+        "dedup_minhash_lsh_sha": f"""
+            WITH {_shingles_sql("toks", "sh")},
             sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
             mh AS (
               SELECT doc_id,
@@ -885,26 +896,10 @@ def oracle_sql() -> dict[str, str]:
                    ) AS clean_sha
             FROM injected
         """,
-        "benchmark_contamination": """
-            WITH toks AS (
-              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
-              FROM documents WHERE doc_id >= 20),
-            sh AS (
-              SELECT DISTINCT doc_id, s AS shingle FROM toks,
-              UNNEST(CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
-                          ELSE [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-                                FOR i IN generate_series(1, len(t) - 2)] END) AS u(s)
-              WHERE s <> ''),
+        "benchmark_contamination": f"""
+            WITH {_shingles_sql("toks", "sh", where=" WHERE doc_id >= 20")},
             sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-            bm_toks AS (
-              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
-              FROM documents WHERE doc_id < 20),
-            bm AS (
-              SELECT DISTINCT s AS shingle FROM bm_toks,
-              UNNEST(CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
-                          ELSE [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-                                FOR i IN generate_series(1, len(t) - 2)] END) AS u(s)
-              WHERE s <> ''),
+            {_shingles_sql("bm_toks", "bm", where=" WHERE doc_id < 20", with_id=False)},
             ov AS (
               SELECT doc_id, count(*) AS n_overlap
               FROM sh JOIN bm ON sh.shingle = bm.shingle GROUP BY doc_id)
@@ -914,16 +909,8 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(ov.n_overlap, 0) * 1.0 / s.n_sh, 4) AS contamination_ratio
             FROM sizes s LEFT JOIN ov ON s.doc_id = ov.doc_id
         """,
-        "repetition_scores": """
-            WITH toks AS (
-              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
-              FROM documents),
-            sh AS (
-              SELECT doc_id, s AS shingle FROM toks,
-              UNNEST(CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
-                          ELSE [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-                                FOR i IN generate_series(1, len(t) - 2)] END) AS u(s)
-              WHERE s <> ''),
+        "repetition_scores": f"""
+            WITH {_shingles_sql("toks", "sh", distinct=False)},
             per AS (SELECT doc_id, shingle, count(*) AS c FROM sh GROUP BY 1, 2)
             SELECT doc_id,
                    sum(c)::BIGINT AS n_shingles,

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup_text import shingle_rows, shingle_sets
+from .dedup_text import shingle_rows
 
 # patterns kept in the RE2 ∩ Java-regex dialect so Spark and the DuckDB
 # oracle match byte-for-byte

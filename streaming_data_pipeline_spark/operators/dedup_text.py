@@ -35,7 +35,15 @@ def normalized_tokens(text_col: str = "text"):
 def exact_text_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact duplicate groups by content hash: canonical keeper = min
     doc_id. Output one row per distinct content with the copy count."""
-    norm = F.sha2(F.concat_ws(" ", normalized_tokens(text_col)), 256)
+    # null text stays a NULL sha: concat_ws would fold a null array to ''
+    # (the empty-string document's hash) on the Spark side only — SQL
+    # engines propagate NULL through sha256, so the two engines would
+    # group null-text docs differently. GROUP BY treats NULLs as one
+    # group in both Spark and ANSI SQL, so null docs form their own group.
+    norm = F.when(
+        F.col(text_col).isNotNull(),
+        F.sha2(F.concat_ws(" ", normalized_tokens(text_col)), 256),
+    )
     return (
         _spread(df).select(F.col("doc_id"), norm.alias("text_sha"))
         .groupBy("text_sha")
@@ -239,7 +247,10 @@ def minhash_lsh_pairs(
     identical signatures, making the WHOLE pipeline — signatures, band
     buckets, surviving pairs — oracle-checkable end to end; ~3× slower,
     so the fast path stays default)."""
-    assert k % bands == 0
+    if k % bands != 0:
+        # a bare assert would vanish under python -O and silently leave
+        # k % bands signature columns out of every band (recall loss)
+        raise ValueError(f"k={k} must be divisible by bands={bands}")
     r = k // bands
     sets = shingle_sets(df, text_col, n)
     sh = sets.select("doc_id", F.explode("sh_set").alias("shingle"))

@@ -234,6 +234,7 @@ def merge_into(
             *resolved_cols,
             F.coalesce(F.col("_s__bucket"), bucket_col(n_buckets, "_t_repo", "_t_path")).alias("_bucket"),
             apply_src.alias("_applied"),
+            has_src.alias("_from_src"),
         )
 
         obs = Observation(f"merge-{epoch}")
@@ -241,12 +242,13 @@ def merge_into(
             obs,
             F.count(F.lit(1)).alias("rows_out"),
             F.sum(F.col("_applied").cast("long")).alias("rows_applied"),
+            F.sum(F.col("_from_src").cast("long")).alias("rows_src"),
             F.sum(F.col("_deleted").cast("long")).alias("tombstones"),
         )
 
         staging = table.new_staging_dir(f"merge-e{epoch}")
         (
-            result.drop("_applied")
+            result.drop("_applied", "_from_src")
             .repartition(F.col("_bucket"))
             .sortWithinPartitions("_bucket", *LAKE_KEY)
             .write.mode("overwrite")
@@ -257,13 +259,20 @@ def merge_into(
         try:
             metrics = obs.get
             rows_applied = int(metrics["rows_applied"] or 0)
+            rows_src = int(metrics["rows_src"] or 0)
             rows_out = int(metrics["rows_out"] or 0)
             tombstones = int(metrics["tombstones"] or 0)
         except Exception:
             rows_out = sum(f["rows"] for f in new_files)
-            rows_applied, tombstones = rows_out, 0
+            rows_applied = rows_src = rows_out
+            tombstones = 0
         summary = {
-            "source_rows": rows_applied,
+            # source_rows = rows CONSUMED from the batch (same meaning as
+            # append_delta's summary, so per-epoch accounting is apply-
+            # mode-agnostic); rows_applied = the subset that won LWW —
+            # on a pure replay these diverge (N consumed, 0 applied)
+            "source_rows": rows_src,
+            "rows_applied": rows_applied,
             "rows_out": rows_out,
             "tombstones": tombstones,
             "touched_buckets": sorted(touched),

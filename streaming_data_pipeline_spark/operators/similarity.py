@@ -40,7 +40,11 @@ def with_unit_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     plain dot product — normalize once, reuse across queries."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     n = _norm(v)
-    unit = F.transform(v, lambda x: x / n)
+    # zero vectors have no direction: dividing by norm 0 yields NaN
+    # components, and Spark orders NaN ABOVE every real number, so a
+    # single zero vector would rank as the top neighbor of every query.
+    # A null _unit instead makes its cosine null, which desc-sorts last.
+    unit = F.when(n > 0, F.transform(v, lambda x: x / n))
     return df.withColumn("_unit", unit)
 
 
@@ -235,7 +239,10 @@ def ivf_ann_topk(
             "neighbor_id",
             F.round(_dot(F.col("_cu"), F.col("_qu")), 5).alias("cosine"),
         )
-        .distinct()
+        # no dedup needed: each corpus vector lives in exactly ONE cell
+        # and a query's probed cells are distinct, so (query, neighbor)
+        # already appears at most once — a distinct() here would add a
+        # full shuffle over the widest intermediate for nothing
     )
     w = F.row_number().over(
         Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

@@ -108,7 +108,7 @@ def replay_dlq(
     marker = {
         "replay_epoch": epoch,
         "source_epochs": src_epochs,
-        "rows_applied": stats.get("source_rows", 0),
+        "rows_applied": stats.get("rows_applied", stats.get("source_rows", 0)),
         "redlq_rows": stats.get("dlq_rows", 0),
         "snapshot_version": stats.get("version"),
     }

@@ -260,3 +260,37 @@ def test_shingle_kernel_parity_with_expression_path(spark):
     expr_d = df.select("doc_id", F.explode(dedup_text.shingle_array("text", 3)).alias("shingle"))
     kern_d = dedup_text.shingle_rows(df, "text", 3, distinct=False).select("doc_id", "shingle")
     assert sorted(map(tuple, expr_d.collect())) == sorted(map(tuple, kern_d.collect()))
+
+
+def test_exact_dedup_null_text_is_its_own_group(spark):
+    """Null text must NOT hash like the empty string: concat_ws folds a
+    null array to '' Spark-side while SQL engines propagate NULL through
+    sha256, so grouping them together would diverge from any SQL oracle.
+    Null docs share one NULL-sha group (GROUP BY treats NULLs as equal
+    in both Spark and ANSI SQL); empty-string docs keep sha('')."""
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, ""), (4, "x"), (5, "x")],
+        "doc_id long, text string",
+    )
+    out = {r["text_sha"]: (r["keep_doc_id"], r["n_copies"])
+           for r in dedup_text.exact_text_dedup(df).collect()}
+    assert out[None] == (1, 2)          # both null docs, one NULL group
+    assert len(out) == 3                 # null, empty, 'x'
+    shas = [s for s in out if s is not None]
+    assert out[[s for s in shas if out[s] == (3, 1)][0]] == (3, 1)
+    assert (4, 2) in out.values()
+
+
+def test_ann_zero_vector_never_ranks(spark):
+    """A zero embedding has no direction; its cosine must not be NaN
+    (Spark sorts NaN above every real number, which would make the zero
+    vector the top neighbor of every query). Unit-normalization nulls
+    it out, and null cosines sort last."""
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(3)]
+    rows.append((99, [0.0, 0.0, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.cosine_topk(df, df.filter(F.col("vec_id") == 0), k=3)
+    got = [(r["neighbor_id"], r["cosine"]) for r in out.collect()]
+    assert all(n != 99 or c is None for n, c in got)
+    assert got[0][0] != 99  # rank 1 is a real vector, not the zero one
+    assert not any(c is not None and math.isnan(c) for _, c in got)
