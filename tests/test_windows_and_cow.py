@@ -126,3 +126,26 @@ def test_cow_and_mor_agree_on_lsn_tie(spark, tmp_path):
             apply_changes(spark, t, spark.createDataFrame([ev(second, second)], CHANGE_EVENT), 1, mode=mode)
             row = t.current_state(spark).filter(F.col("path") == "tie.py").collect()[0]
             assert (row["commit"], row["content"]) == ("c_zz", "c_zz"), (mode, order, row)
+
+
+def test_cow_replay_accounting_consumed_vs_applied(spark, tmp_path):
+    """Apply-mode-agnostic accounting (review r2 finding): source_rows
+    means rows CONSUMED from the batch in both modes; rows_applied is
+    the LWW-winning subset. On a pure replay of an already-applied
+    batch, COW must report N consumed / 0 applied — not 0 consumed."""
+    rows = [
+        ("insert", "r", f"f{i}.py", f"c{i}", "py", "x", i + 1, None, None)
+        for i in range(5)
+    ]
+    batch = spark.createDataFrame(rows, CHANGE_EVENT)
+    table = SnapshotTable.create(str(tmp_path / "acct"), LAKE_BASE, n_buckets=4)
+
+    first = apply_changes(spark, table, batch, 0, mode="cow")
+    assert first["source_rows"] == 5
+    assert first["rows_applied"] == 5
+
+    # strict-greater LSN makes the replay a no-op — but it still consumed
+    replay = apply_changes(spark, table, batch, 1, mode="cow")
+    assert replay["source_rows"] == 5
+    assert replay["rows_applied"] == 0
+    assert table.current_state(spark).count() == 5
