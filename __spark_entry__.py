@@ -178,7 +178,9 @@ def q_transform_enrich(spark, sf_dir):
         "event_id",
         F.when(et.isNull() | (et == ""), "UNKNOWN").otherwise(F.upper(et)).alias("normalized_event_type"),
         event_category_col(et).alias("event_category"),
-        et.isin(*CONVERSION_EVENTS).alias("is_conversion"),
+        # coalesce to False on null event_type — matches transform_enrich
+        # and the reference's boolean is_conversion_event (None -> False)
+        F.coalesce(et.isin(*CONVERSION_EVENTS), F.lit(False)).alias("is_conversion"),
     )
 
 
@@ -667,7 +669,7 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 'login' THEN 'authentication'
                         WHEN 'logout' THEN 'authentication'
                         ELSE 'other' END AS event_category,
-                   event_type IN ('purchase','signup') AS is_conversion
+                   coalesce(event_type IN ('purchase','signup'), false) AS is_conversion
             FROM events
         """,
         "event_type_mapping": """

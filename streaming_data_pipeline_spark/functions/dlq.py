@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..schemas import JSON_OPTS
+
 REMEDIATION = {
     "missing_required_field": "Add missing required fields to event data",
     "invalid_enum_value": "Use valid enum values from schema definition",
@@ -118,7 +120,11 @@ def enrich_dead_letters(
     etype_c = F.lit(error_type)
     cat = error_category_col(etype_c, F.col(error_message_col), stage_c)
     return invalid.select(
-        F.to_json(F.struct(*data_cols)).alias("original_event"),
+        # JSON_OPTS: microsecond timestamps must survive the DLQ->replay
+        # round trip (the default format truncates to millis, so a
+        # replayed event's ts — hence the replayed table state — would
+        # differ from the no-failure run)
+        F.to_json(F.struct(*data_cols), JSON_OPTS).alias("original_event"),
         etype_c.alias("error_type"),
         F.col(error_message_col).alias("error_message"),
         F.coalesce(

@@ -85,7 +85,11 @@ def transform_user_events(df: DataFrame) -> DataFrame:
                 et.isNull() | (et == ""), F.lit("UNKNOWN")
             ).otherwise(F.upper(et)),
             "event_category": event_category_col(et),
-            "is_conversion": et.isin(*CONVERSION_EVENTS),
+            # coalesce: `x in (...)` is NULL (not False) in SQL when x is
+            # NULL — the reference's boolean is_conversion_event returns
+            # False for None, and a NULL here silently escapes both
+            # branches of any is_conversion filter
+            "is_conversion": F.coalesce(et.isin(*CONVERSION_EVENTS), F.lit(False)),
             "processed_at": F.coalesce(
                 F.to_timestamp(F.col("timestamp")), F.timestamp_seconds(F.lit(0))
             ),

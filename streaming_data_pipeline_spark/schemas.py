@@ -67,6 +67,21 @@ LAKE_BASE = T.StructType(
 
 LAKE_BASE_COLS = [f.name for f in LAKE_BASE.fields]
 
+# Column names a payload key must NEVER be promoted to: the change-event
+# envelope (a payload key 'op' would clobber the CDC op before tombstone
+# derivation), the lake bookkeeping columns, and anything starting with
+# '_' (internal columns like _deleted/_bucket). schema evolution reports
+# such keys instead of promoting them (streaming/evolve.py).
+RESERVED_COLS = frozenset(f.name for f in CHANGE_EVENT.fields) | frozenset(LAKE_BASE_COLS)
+
+# JSON wire format for change events (Kafka records, DLQ original_event
+# envelopes): Spark's default timestampFormat carries MILLISECONDS only,
+# so a to_json -> from_json round trip would silently truncate
+# microsecond event times — breaking producer->consumer and DLQ-replay
+# equality. Every serialize AND parse site must pass JSON_OPTS.
+TS_JSON_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+JSON_OPTS = {"timestampFormat": TS_JSON_FMT}
+
 # --- dead-letter table --------------------------------------------------------
 
 DLQ = T.StructType(

@@ -71,7 +71,7 @@ def get_spark(
         .config("spark.sql.files.maxRecordsPerFile", "5000000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.shuffle.spill.compress", "true")
         # ObjectHashAggregateExec (TypedImperative aggs: collect_list,
         # percentile, ...) falls back to sort-based at 128 (!) distinct
         # keys per task by default — every reducer then external-sorts

@@ -18,11 +18,15 @@ src/pipeline.py:321-328):
   events_per_epoch   — microbatch sizing (analog of BATCH_SIZE=100,
                        src/config.py:45)
 
-Invalid modes (each maps to a distinct DLQ error_category, FIXTURES.md §2):
+Invalid modes (FIXTURES.md §2; categories per functions/dlq.py rules —
+modes 1 and 2 SHARE missing_required_field, and mode 3's message
+matches no keyword rule so it takes the stage-based fallback):
   0: op = 'invalid_op'   (enum violation — analog of src/producer.py:103)
-  1: repo = NULL         (missing required field)
-  2: path = NULL         (missing required field)
+                         → invalid_enum_value
+  1: repo = NULL         (missing required field) → missing_required_field
+  2: path = NULL         (missing required field) → missing_required_field
   3: lsn  = negative     (numeric lower-bound violation, like amount>=0)
+                         → schema_validation_error (stage fallback)
 """
 
 from __future__ import annotations

@@ -22,14 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..schemas import CHANGE_EVENT
-
-# Spark's default JSON timestampFormat carries MILLISECONDS only; a
-# to_json -> from_json round trip would silently truncate microsecond
-# event times, breaking producer->consumer replay equality. Both sides
-# of the wire format pin the full precision.
-_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
-_JSON_OPTS = {"timestampFormat": _TS_FMT}
+from ..schemas import CHANGE_EVENT, JSON_OPTS as _JSON_OPTS
 
 
 def kafka_change_stream(

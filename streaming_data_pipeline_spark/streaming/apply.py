@@ -54,6 +54,7 @@ def apply_changes(
     detect_renames: bool = False,
     salt_buckets: int = 8,
     stage: str = "consumer_validation",
+    error_type: str = "ValidationError",
     cache_batch: bool | None = None,
     dlq_keep_content: bool = False,
 ) -> dict:
@@ -116,8 +117,14 @@ def apply_changes(
             # tasks (measured: serialized every epoch); the shuffle
             # boundary keeps the wide scan parallel and moves only the
             # small invalid split to the writers.
+            # error_type flows through: the retryability classifier keys
+            # on it (ValidationError -> can_retry=false), so a caller
+            # running a transient stage (e.g. stage='transformation',
+            # error_type='TimeoutError') must be able to produce
+            # retryable rows — otherwise replay_dlq never has candidates
             dlq = enrich_dead_letters(
-                invalid, stage=stage, epoch=epoch, keep_content=dlq_keep_content
+                invalid, stage=stage, error_type=error_type,
+                epoch=epoch, keep_content=dlq_keep_content,
             )
             obs = Observation(f"dlq-{epoch}")
             dest = os.path.join(dlq_path(table.root), f"epoch={epoch}")

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..schemas import LAKE_BASE_COLS
+from ..schemas import LAKE_BASE_COLS, RESERVED_COLS
 
 log = logging.getLogger(__name__)
 
@@ -99,11 +99,22 @@ def evolve_and_promote(
         if old not in known_extras and counts.get(nk, 0) > 0:
             revived_srcs.setdefault(old, []).insert(0, nk)
     revived = sorted(revived_srcs)
+    # a payload key colliding with an ENVELOPE column (e.g. 'op') must
+    # never be promoted: withColumn('op', payload['op']) would clobber
+    # the CDC op for the whole batch BEFORE tombstone derivation —
+    # deletes stop tombstoning and rows without the key get a null op.
+    # Underscore names would collide with internals (_deleted, _bucket).
+    reserved_ignored = sorted(
+        k for k in counts if k in RESERVED_COLS or k.startswith("_")
+    )
     new_keys = sorted(
         set(
             k
             for k in counts
-            if k not in known_extras and k not in LAKE_BASE_COLS and k not in known_renames
+            if k not in known_extras
+            and k not in RESERVED_COLS
+            and not k.startswith("_")
+            and k not in known_renames
         )
         | set(revived)
     )
@@ -150,5 +161,11 @@ def evolve_and_promote(
         "added_columns": new_keys,
         "renamed_columns": renames,
         "applied_renames": {**known_renames, **renames},
+        "reserved_keys_ignored": reserved_ignored,
     }
+    if reserved_ignored:
+        log.warning(
+            "schema-evolution: payload key(s) %s collide with reserved "
+            "engine columns and were NOT promoted", reserved_ignored
+        )
     return out, new_schema, report

@@ -37,8 +37,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.lake import SnapshotTable, _atomic_write_json
-from ..schemas import CHANGE_EVENT
+from ..schemas import CHANGE_EVENT, JSON_OPTS
 from .apply import apply_changes, read_dlq
+
+
+# Replay epochs live in their own id range, disjoint from streaming
+# foreachBatch batch ids: the resumed tailer numbers its next batch from
+# the CHECKPOINT (unknown to a replay caller), and a collision would let
+# that batch's DLQ overwrite destroy the replay's re-DLQ'd audit rows —
+# or a replay overwrite the very DLQ partition it is reading. Streaming
+# batch ids are small integers; 2^40 epochs of history is out of reach.
+REPLAY_EPOCH_BASE = 1 << 40
 
 
 def _replay_dir(table_root: str) -> str:
@@ -80,9 +89,13 @@ def replay_dlq(
 ) -> dict:
     """Reprocess retryable dead letters as one batch epoch. Returns the
     apply stats plus replay bookkeeping; a no-op (None version) when
-    nothing is eligible. ``epoch`` must be fresh (e.g. max applied + 1);
-    the marker write is first-writer-wins, so two concurrent replays of
-    the same epoch cannot double-consume."""
+    nothing is eligible. ``epoch`` is the caller's replay id — it is
+    offset into ``REPLAY_EPOCH_BASE``'s disjoint range (the effective id
+    is returned as ``replay_epoch``), so it can never collide with a
+    streaming batch id. The marker write is first-writer-wins, so two
+    concurrent replays of the same id cannot double-consume."""
+    if epoch < REPLAY_EPOCH_BASE:
+        epoch = REPLAY_EPOCH_BASE + epoch
     todo = retryable_dead_letters(spark, table.root)
     # bounded collect: one row per DLQ epoch (epoch count, not data size)
     src_epochs = sorted(r[0] for r in todo.select("epoch").distinct().collect())
@@ -90,7 +103,7 @@ def replay_dlq(
         return {"replayed_rows": 0, "source_epochs": [], "version": None}
 
     events = todo.select(
-        F.from_json(F.col("original_event"), CHANGE_EVENT).alias("e")
+        F.from_json(F.col("original_event"), CHANGE_EVENT, JSON_OPTS).alias("e")
     ).select("e.*")
     if fixer is not None:
         events = fixer(events)
@@ -115,4 +128,9 @@ def replay_dlq(
     _atomic_write_json(
         marker, os.path.join(_replay_dir(table.root), f"replay-{epoch}.json"), exclusive=True
     )
-    return {**stats, "replayed_rows": marker["rows_applied"], "source_epochs": src_epochs}
+    return {
+        **stats,
+        "replay_epoch": epoch,
+        "replayed_rows": marker["rows_applied"],
+        "source_epochs": src_epochs,
+    }

@@ -60,7 +60,13 @@ def _update_repo_state(
         if len(pdf):
             max_lsn = max(max_lsn, int(pdf["lsn"].max()))
         if len(paths) < _PATH_CAP:
-            paths.update(pdf["path"].dropna().tolist()[: _PATH_CAP - len(paths)])
+            # dedup BEFORE applying the cap: slicing the raw row list
+            # would spend the budget on duplicate rows and drop distinct
+            # paths even when the cap is not reached
+            for p in dict.fromkeys(pdf["path"].dropna().tolist()):
+                if len(paths) >= _PATH_CAP:
+                    break
+                paths.add(p)
     state.update((total, deletes, max_lsn, sorted(paths)))
     yield pd.DataFrame(
         [

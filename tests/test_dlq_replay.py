@@ -93,8 +93,57 @@ def test_replay_loop_prevention(spark, tmp_path):
 
     stats = replay_dlq(spark, table, epoch=1)
     assert stats["source_epochs"] == [0] and stats["replayed_rows"] == 0
-    redlq = read_dlq(spark, table.root).filter(F.col("epoch") == 1).collect()
+    # re-DLQ rows land under the EFFECTIVE replay epoch — the disjoint
+    # range that a resumed streaming tailer's batch ids can never reach
+    from streaming_data_pipeline_spark.streaming.replay import REPLAY_EPOCH_BASE
+
+    assert stats["replay_epoch"] == REPLAY_EPOCH_BASE + 1
+    redlq = read_dlq(spark, table.root).filter(
+        F.col("epoch") == stats["replay_epoch"]
+    ).collect()
     assert len(redlq) == 1
     assert redlq[0]["processing_stage"] == "dlq_replay"
     assert redlq[0]["can_retry"] is False
     assert replay_dlq(spark, table, epoch=2)["source_epochs"] == []
+
+
+def test_replay_preserves_microsecond_timestamps(spark, tmp_path):
+    """The DLQ original_event envelope must round-trip microsecond event
+    times: Spark's default JSON timestampFormat is millis-only, so a
+    dead-lettered event with ts=.123456 would be replayed as .123000 and
+    the replayed table state would differ from a no-failure run (review
+    r2 finding)."""
+    from datetime import datetime
+
+    ev = spark.createDataFrame(
+        [("insert", "r", "t.py", "c9", "python", "x", 9,
+          datetime(2026, 8, 16, 12, 0, 0, 123456), None)],
+        CHANGE_EVENT,
+    )
+    table = SnapshotTable.create(str(tmp_path / "us"), LAKE_BASE, n_buckets=4)
+    _simulate_transient_outage(spark, table.root, ev, epoch=0)
+    stats = replay_dlq(spark, table, epoch=1, dlq_keep_content=True)
+    assert stats["replayed_rows"] == 1
+    row = table.current_state(spark).collect()[0]
+    assert row["ts"] == datetime(2026, 8, 16, 12, 0, 0, 123456)
+
+
+def test_transient_stage_rows_are_retryable(spark, tmp_path):
+    """apply_changes(error_type=...) reaches the retryability classifier:
+    a transient-stage failure (TimeoutError in transformation) must
+    produce can_retry=true rows the replay job can find — previously the
+    hardcoded ValidationError made every engine DLQ row terminal."""
+    from streaming_data_pipeline_spark.streaming.apply import apply_changes, read_dlq
+    from streaming_data_pipeline_spark.streaming.replay import retryable_dead_letters
+
+    bad = spark.createDataFrame(
+        [("insert", "r", "a.py", "c1", "python", None, 5, None, None)],
+        CHANGE_EVENT,
+    )  # null content fails validation -> lands in DLQ under our labels
+    table = SnapshotTable.create(str(tmp_path / "rt"), LAKE_BASE, n_buckets=4)
+    apply_changes(
+        spark, table, bad, 0, stage="transformation", error_type="TimeoutError"
+    )
+    dlq = read_dlq(spark, table.root).collect()
+    assert len(dlq) == 1 and dlq[0]["can_retry"] is True
+    assert retryable_dead_letters(spark, table.root).count() == 1

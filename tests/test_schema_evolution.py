@@ -233,3 +233,31 @@ def test_chained_renames_on_revived_column(spark):
     assert report["added_columns"] == ["stars"]
     vals = {r["path"]: r["stars"] for r in out.collect()}
     assert vals == {"g0.py": "1", "g1.py": "2", "g2.py": "3"}
+
+
+def test_reserved_payload_keys_never_promoted(spark, tmp_path):
+    """A payload key named like an ENVELOPE column (e.g. 'op') must not
+    be promoted — withColumn('op', ...) would clobber the CDC op for the
+    whole batch before tombstone derivation, so deletes stop deleting
+    (review r2 finding). The key is reported, not silently dropped."""
+    batch = spark.createDataFrame(
+        [
+            _ev("insert", "r", "a.py", 1, {"op": "merged", "_sneaky": "x", "stars": "3"}),
+            _ev("delete", "r", "b.py", 2, {"op": "merged"}),
+        ],
+        CH,
+    )
+    out, new_schema, report = evolve_and_promote(batch, LAKE_BASE)
+    assert report["added_columns"] == ["stars"]
+    assert report["reserved_keys_ignored"] == ["_sneaky", "op"]
+    # the CDC op survived: the delete is still a delete
+    ops = {r["path"]: r["op"] for r in out.collect()}
+    assert ops == {"a.py": "insert", "b.py": "delete"}
+
+    # end-to-end: the delete still produces a tombstone through apply
+    from streaming_data_pipeline_spark.streaming.apply import apply_changes
+
+    table = SnapshotTable.create(str(tmp_path / "rsv"), LAKE_BASE, n_buckets=4)
+    apply_changes(spark, table, batch, 0)
+    live = {r["path"] for r in table.current_state(spark).collect()}
+    assert live == {"a.py"}
