@@ -960,8 +960,10 @@ def oracle_sql() -> dict[str, str]:
             c AS (SELECT repo, ts, lsn FROM changes WHERE repo IS NOT NULL),
             m AS (
               SELECT repo, ts, lsn,
+                     -- fractional epoch, matching the engine's double-
+                     -- precision gap (sub-second gaps at the boundary)
                      CASE WHEN lag(ts) OVER w IS NULL
-                               OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 3600
+                               OR epoch(ts) - epoch(lag(ts) OVER w) > 3600
                           THEN 1 ELSE 0 END AS ns
               FROM c WINDOW w AS (PARTITION BY repo ORDER BY ts, lsn)),
             s AS (SELECT repo, ts, lsn,

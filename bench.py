@@ -60,43 +60,49 @@ def run_cdc_stream(spark, wal_dir: str, tmp: str) -> tuple[float, int]:
     return dt, n
 
 
-def run_cdc_apply(spark, mode: str = "mor") -> tuple[float, int]:
+def materialize_wal(spark, tmp: str) -> str:
+    """Generate the seed-42 change stream ONCE as an epoch-partitioned
+    parquet WAL (generation is excluded from every timed window, as in
+    real CDC where the log already exists). Both apply modes and the
+    streaming tailer derive their input from this single materialization
+    — regenerating per mode doubled the untimed setup for nothing."""
+    from streaming_data_pipeline_spark.sources.changegen import generate_changes
+
+    wal = f"{tmp}/wal"
+    generate_changes(
+        spark,
+        N_CDC_EVENTS,
+        seed=42,
+        n_repos=2000,
+        paths_per_repo=500,
+        events_per_epoch=N_CDC_EVENTS // N_CDC_EPOCHS,
+        invalid_ratio=0.05,
+        duplicate_ratio=0.02,
+        out_of_order_ratio=0.05,
+        delete_ratio=0.05,
+        content_repeat=2,
+        evolve_payload_at_epoch=2,
+        partitions=CPUS * 2,
+    ).write.partitionBy("epoch").mode("overwrite").parquet(wal)
+    return wal
+
+
+def run_cdc_apply(spark, wal: str, mode: str = "mor") -> tuple[float, int]:
     """Full-pipeline apply of a change stream (validate → DLQ → evolve →
-    apply). ``mode='mor'`` appends bucketed deltas + one final
-    compaction (the default engine path); ``mode='cow'`` runs the
-    copy-on-write MERGE join per epoch — benchmarked side by side so the
-    MOR-as-default decision stays evidenced as the code evolves. The
-    stream is materialized as a parquet WAL first — generation is
-    excluded from timing, as in real CDC where the log already exists.
-    Returns (seconds, events)."""
+    apply) from a pre-materialized WAL. ``mode='mor'`` appends bucketed
+    deltas + one final compaction (the default engine path);
+    ``mode='cow'`` runs the copy-on-write MERGE join per epoch —
+    benchmarked side by side so the MOR-as-default decision stays
+    evidenced as the code evolves. Returns (seconds, events)."""
     import os as _os
 
     from streaming_data_pipeline_spark.plans.lake import SnapshotTable
     from streaming_data_pipeline_spark.plans.maintenance import compact
     from streaming_data_pipeline_spark.schemas import CHANGE_EVENT, LAKE_BASE
-    from streaming_data_pipeline_spark.sources.changegen import generate_changes
     from streaming_data_pipeline_spark.streaming.apply import apply_changes
 
-    per_epoch = N_CDC_EVENTS // N_CDC_EPOCHS
     tmp = tempfile.mkdtemp(prefix="sdp_bench_lake_")
     try:
-        wal = f"{tmp}/wal"
-        generate_changes(
-            spark,
-            N_CDC_EVENTS,
-            seed=42,
-            n_repos=2000,
-            paths_per_repo=500,
-            events_per_epoch=per_epoch,
-            invalid_ratio=0.05,
-            duplicate_ratio=0.02,
-            out_of_order_ratio=0.05,
-            delete_ratio=0.05,
-            content_repeat=2,
-            evolve_payload_at_epoch=2,
-            partitions=CPUS * 2,
-        ).write.partitionBy("epoch").mode("overwrite").parquet(wal)
-
         def batch(ep: int):
             return spark.read.schema(CHANGE_EVENT).parquet(_os.path.join(wal, f"epoch={ep}"))
 
@@ -113,7 +119,16 @@ def run_cdc_apply(spark, mode: str = "mor") -> tuple[float, int]:
         table = SnapshotTable.create(f"{tmp}/lake", LAKE_BASE, n_buckets=max(CPUS, 16))
         t0 = time.time()
         n = 0
-        for ep in range(N_CDC_EPOCHS + 2):  # +2: late/dup spill epochs
+        # only epochs actually written: the late/dup spill epochs past
+        # N_CDC_EPOCHS exist only if some event was both late AND
+        # duplicated — probabilistic at small SPARK_GRAFT_BENCH_EVENTS,
+        # and reading a missing partition dir would crash the bench
+        epochs = sorted(
+            int(d.split("=", 1)[1])
+            for d in _os.listdir(wal)
+            if d.startswith("epoch=")
+        )
+        for ep in epochs:
             stats = apply_changes(spark, table, batch(ep), epoch=ep, salt_buckets=8, mode=mode)
             n += stats.get("source_rows", 0)
         if mode == "mor":
@@ -161,7 +176,10 @@ def main() -> None:
     # pipeline, not first-compilation of its plan shapes (measured: the
     # cold first flagship call is 3-4x its warm time on identical code)
     spark.range(1000).count()
-    qs["cdc_final_state"](spark, "/root/testdata/sf0.001").count()
+    warm_sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_sf):
+        warm_sf = SF_DIR  # honor the retargeting knob on foreign machines
+    qs["cdc_final_state"](spark, warm_sf).count()
 
     for name in headline:
         t0 = time.time()
@@ -169,35 +187,39 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
-    cdc_sec, cdc_events = run_cdc_apply(spark, mode="mor")
-    timings["cdc_apply_pipeline"] = round(cdc_sec, 3)
-
-    # settle the page cache so the COW run isn't taxed by MOR's writeback
-    os.sync()
-    time.sleep(5)
-    cow_sec, cow_events = run_cdc_apply(spark, mode="cow")
-    timings["cdc_apply_pipeline_cow"] = round(cow_sec, 3)
-
-    # tailer mode over the same generated stream (checkpoint + markers in
-    # the timed window)
-    os.sync()
-    time.sleep(5)
-    stream_tmp = tempfile.mkdtemp(prefix="sdp_bench_stream_")
+    wal_tmp = tempfile.mkdtemp(prefix="sdp_bench_wal_")
     try:
-        from streaming_data_pipeline_spark.schemas import CHANGE_EVENT
-        from streaming_data_pipeline_spark.sources.changegen import generate_changes
+        wal = materialize_wal(spark, wal_tmp)
 
-        wal = f"{stream_tmp}/wal"
-        generate_changes(
-            spark, N_CDC_EVENTS, seed=42, n_repos=2000, paths_per_repo=500,
-            events_per_epoch=N_CDC_EVENTS // N_CDC_EPOCHS, invalid_ratio=0.05,
-            duplicate_ratio=0.02, out_of_order_ratio=0.05, delete_ratio=0.05,
-            content_repeat=2, evolve_payload_at_epoch=2, partitions=CPUS * 2,
-        ).drop("epoch").write.mode("overwrite").parquet(wal)
-        stream_sec, stream_events = run_cdc_stream(spark, wal, stream_tmp)
-        timings["cdc_stream_pipeline"] = round(stream_sec, 3)
+        cdc_sec, cdc_events = run_cdc_apply(spark, wal, mode="mor")
+        timings["cdc_apply_pipeline"] = round(cdc_sec, 3)
+
+        # settle the page cache so the COW run isn't taxed by MOR's writeback
+        os.sync()
+        time.sleep(5)
+        cow_sec, cow_events = run_cdc_apply(spark, wal, mode="cow")
+        timings["cdc_apply_pipeline_cow"] = round(cow_sec, 3)
+
+        # tailer mode over the SAME stream: the flat (epoch-dropped) WAL
+        # derives from the partitioned one — a cheap read+rewrite, not a
+        # second generation (checkpoint + markers in the timed window)
+        os.sync()
+        time.sleep(5)
+        stream_tmp = tempfile.mkdtemp(prefix="sdp_bench_stream_")
+        try:
+            from streaming_data_pipeline_spark.schemas import CHANGE_EVENT
+
+            flat = f"{stream_tmp}/wal"
+            (
+                spark.read.schema(CHANGE_EVENT).parquet(wal)
+                .write.mode("overwrite").parquet(flat)
+            )
+            stream_sec, stream_events = run_cdc_stream(spark, flat, stream_tmp)
+            timings["cdc_stream_pipeline"] = round(stream_sec, 3)
+        finally:
+            shutil.rmtree(stream_tmp, ignore_errors=True)
     finally:
-        shutil.rmtree(stream_tmp, ignore_errors=True)
+        shutil.rmtree(wal_tmp, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     out = {

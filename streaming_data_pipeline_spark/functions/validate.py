@@ -42,6 +42,16 @@ def validation_errors() -> Column:
     return compiled_errors("change_event")
 
 
+def commit_hash_col(repo="repo", path="path", lsn="lsn"):
+    """Deterministic commit id for events that lack one:
+    sha256(repo|path|lsn)[:12]. ONE definition — replay determinism and
+    DuckDB-oracle parity depend on every derivation site agreeing (this
+    default, the events adapter, and the adapter's SQL twin
+    CHANGES_FROM_EVENTS_SQL, which must mirror it textually)."""
+    r, p, l = (F.col(c) if isinstance(c, str) else c for c in (repo, path, lsn))
+    return F.substring(F.sha2(F.concat_ws("|", r, p, l.cast("string")), 256), 1, 12)
+
+
 def apply_defaults(df: DataFrame) -> DataFrame:
     """V2 — schema defaults, applied BEFORE validation like the reference
     (schema_validator.py:113-130: defaults filled, then validated).
@@ -55,10 +65,7 @@ def apply_defaults(df: DataFrame) -> DataFrame:
     """
     return df.withColumns(
         {
-            "commit": F.coalesce(
-                F.col("commit"),
-                F.substring(F.sha2(F.concat_ws("|", "repo", "path", "lsn"), 256), 1, 12),
-            ),
+            "commit": F.coalesce(F.col("commit"), commit_hash_col()),
             "ts": F.coalesce(F.col("ts"), F.timestamp_seconds(F.lit(1_700_000_000) + F.col("lsn"))),
             "lang": F.coalesce(
                 F.col("lang"), F.when(F.col("op") != "delete", F.lit("other"))

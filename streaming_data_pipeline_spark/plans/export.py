@@ -68,69 +68,86 @@ def export_training_mix(
     # upstream, so `docs` itself is persisted before its count.
     from pyspark.storagelevel import StorageLevel
 
-    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
-    counts = {"state_rows": docs.count()}
+    # every currently-persisted frame, unpersisted in the finally below:
+    # a failure mid-export (bad benchmark frame, out-of-space shard
+    # write) must not leak MEMORY_AND_DISK blocks of the full lake state
+    # into a long-lived session
+    cached: list = []
+
+    def _persist(frame):
+        frame = frame.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(frame)
+        return frame
 
     def _stage(frame, prev):
-        frame = frame.persist(StorageLevel.MEMORY_AND_DISK)
+        frame = _persist(frame)
         nrows = frame.count()
         if prev is not None:
             prev.unpersist()
+            cached.remove(prev)
         return frame, nrows
 
-    # 1. exact content dedup: canonical keeper = lexicographically least
-    # (repo, path) per content hash — deterministic, one shuffle
-    keyed = docs.withColumn("_sha", F.sha2(F.col("text"), 256))
-    keepers = keyed.groupBy("_sha").agg(
-        F.min(F.struct("repo", "path")).alias("_keep")
-    )
-    deduped = (
-        keyed.join(keepers, "_sha")
-        .filter((F.col("repo") == F.col("_keep.repo")) & (F.col("path") == F.col("_keep.path")))
-        .drop("_keep")
-    )
-    deduped, counts["after_exact_dedup"] = _stage(deduped, docs)
+    try:
+        docs = _persist(docs)
+        counts = {"state_rows": docs.count()}
 
-    # 2. decontamination against the benchmark/eval corpus
-    if benchmark is not None:
-        contam = benchmark_contamination(
-            deduped.select("doc_id", "text"), benchmark, n=n
-        ).filter(F.col("contamination_ratio") > max_contamination).select("doc_id")
-        deduped, counts["after_decontamination"] = _stage(
-            deduped.join(contam, "doc_id", "left_anti"), deduped
+        # 1. exact content dedup: canonical keeper = lexicographically least
+        # (repo, path) per content hash — deterministic, one shuffle
+        keyed = docs.withColumn("_sha", F.sha2(F.col("text"), 256))
+        keepers = keyed.groupBy("_sha").agg(
+            F.min(F.struct("repo", "path")).alias("_keep")
+        )
+        deduped = (
+            keyed.join(keepers, "_sha")
+            .filter((F.col("repo") == F.col("_keep.repo")) & (F.col("path") == F.col("_keep.path")))
+            .drop("_keep")
+        )
+        deduped, counts["after_exact_dedup"] = _stage(deduped, docs)
+
+        # 2. decontamination against the benchmark/eval corpus
+        if benchmark is not None:
+            contam = benchmark_contamination(
+                deduped.select("doc_id", "text"), benchmark, n=n
+            ).filter(F.col("contamination_ratio") > max_contamination).select("doc_id")
+            deduped, counts["after_decontamination"] = _stage(
+                deduped.join(contam, "doc_id", "left_anti"), deduped
+            )
+
+        # 3. repetition filter (degenerate loops out)
+        reps = repetition_score(deduped.select("doc_id", "text"), n=n).filter(
+            F.col("repetition_ratio") > max_repetition
+        ).select("doc_id")
+        deduped, counts["after_repetition_filter"] = _stage(
+            deduped.join(reps, "doc_id", "left_anti"), deduped
         )
 
-    # 3. repetition filter (degenerate loops out)
-    reps = repetition_score(deduped.select("doc_id", "text"), n=n).filter(
-        F.col("repetition_ratio") > max_repetition
-    ).select("doc_id")
-    deduped, counts["after_repetition_filter"] = _stage(
-        deduped.join(reps, "doc_id", "left_anti"), deduped
-    )
+        # 4. deterministic per-lang mix — a pure filter over the cached
+        # survivors, so count + write cost two cheap passes
+        sampled = hash_stratified_sample(
+            deduped, rates=rates, default_rate=default_rate, key_col="doc_id", strata_col="lang"
+        )
+        counts["sampled"] = sampled.count()
 
-    # 4. deterministic per-lang mix — a pure filter over the cached
-    # survivors, so count + write cost two cheap passes
-    sampled = hash_stratified_sample(
-        deduped, rates=rates, default_rate=default_rate, key_col="doc_id", strata_col="lang"
-    )
-    counts["sampled"] = sampled.count()
-
-    (
-        sampled.select("repo", "path", "lang", "text", "_sha")
-        .repartition(F.col("lang"))
-        .sortWithinPartitions("lang", "repo", "path")
-        .write.mode("overwrite")
-        .partitionBy("lang")
-        .parquet(os.path.join(out_dir, "data"))
-    )
-    deduped.unpersist()
-    manifest = {
-        "snapshot_version": v,
-        "rates": rates,
-        "default_rate": default_rate,
-        "max_contamination": max_contamination if benchmark is not None else None,
-        "max_repetition": max_repetition,
-        "counts": counts,
-    }
-    _atomic_write_json(manifest, os.path.join(out_dir, "_manifest.json"))
+        (
+            sampled.select("repo", "path", "lang", "text", "_sha")
+            .repartition(F.col("lang"))
+            .sortWithinPartitions("lang", "repo", "path")
+            .write.mode("overwrite")
+            .partitionBy("lang")
+            .parquet(os.path.join(out_dir, "data"))
+        )
+        manifest = {
+            "snapshot_version": v,
+            "rates": rates,
+            "default_rate": default_rate,
+            "max_contamination": max_contamination if benchmark is not None else None,
+            "max_repetition": max_repetition,
+            "counts": counts,
+        }
+        _atomic_write_json(manifest, os.path.join(out_dir, "_manifest.json"))
+    finally:
+        # success path leaves nothing cached either — the shard is
+        # on disk and the session owes no memory to this export
+        for f in cached:
+            f.unpersist()
     return manifest

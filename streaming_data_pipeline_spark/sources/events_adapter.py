@@ -40,7 +40,9 @@ def changes_from_events(events: DataFrame) -> DataFrame:
         .otherwise("update")
     )
     lsn = eid.cast("long")
-    commit = F.substring(F.sha2(F.concat_ws("|", repo, path, lsn.cast("string")), 256), 1, 12)
+    from ..functions.validate import commit_hash_col
+
+    commit = commit_hash_col(repo, path, lsn)
     # integer-only content derivation: floor(v*100+0.5) is bit-identical
     # IEEE math in Spark and DuckDB (float *formatting* is not portable)
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")

@@ -29,6 +29,7 @@ EPOCH_METRICS_SCHEMA = T.StructType(
         T.StructField("input_files", T.IntegerType()),
         T.StructField("files_written", T.IntegerType()),
         T.StructField("rows_out", T.LongType()),
+        T.StructField("rows_valid", T.LongType()),
         T.StructField("rows_applied", T.LongType()),
         T.StructField("tombstones", T.LongType()),
         T.StructField("dlq_rows", T.LongType()),
@@ -61,19 +62,24 @@ def epoch_metrics(spark: SparkSession, table_root: str) -> DataFrame:
                 len(rec.get("source_offsets", {}).get("input_files", [])),
                 len(rec.get("files_written", [])),
                 s.get("rows_out", 0),
+                # rows_valid: valid rows CONSUMED (both apply modes record
+                # this as source_rows); rows_applied: the LWW-winning
+                # subset — COW summaries record it separately, and on a
+                # replayed epoch the two diverge (N consumed, 0 applied)
                 s.get("source_rows", 0),
+                s.get("rows_applied", s.get("source_rows", 0)),
                 s.get("tombstones", 0),
                 s.get("dlq_rows", 0),
                 len(s.get("touched_buckets", [])),
             )
         )
     df = spark.createDataFrame(rows, EPOCH_METRICS_SCHEMA)
-    consumed = F.col("rows_applied") + F.col("dlq_rows")
+    consumed = F.col("rows_valid") + F.col("dlq_rows")
     return df.withColumns(
         {
             "consumed": consumed,
             "success_rate": F.round(
-                F.col("rows_applied") * 100.0 / F.greatest(consumed, F.lit(1)), 2
+                F.col("rows_valid") * 100.0 / F.greatest(consumed, F.lit(1)), 2
             ),
             "error_rate": F.round(
                 F.col("dlq_rows") * 100.0 / F.greatest(consumed, F.lit(1)), 2

@@ -80,9 +80,12 @@ def repo_activity_sessions_batch(df: DataFrame, gap_seconds: int = 600) -> DataF
 
     w = Window.partitionBy("repo").orderBy("ts", "lsn")
     # cast via TIMESTAMP first: NTZ inputs (e.g. driver parquet) can't
-    # cast straight to long; session tz is pinned UTC so this matches
-    # DuckDB's naive-as-UTC epoch()
-    ep = F.col("ts").cast("timestamp").cast("long")
+    # cast straight to a numeric; session tz is pinned UTC so this
+    # matches DuckDB's naive-as-UTC epoch(). DOUBLE, not long: whole-
+    # second truncation made this "twin" disagree with the streaming
+    # session_window on sub-second gaps straddling the threshold (e.g.
+    # a 600.2s gap truncated to 600 = no new session at gap 600).
+    ep = F.col("ts").cast("timestamp").cast("double")
     gap = ep - F.lag(ep).over(w)
     marked = df.withColumn(
         "_new_session", F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)

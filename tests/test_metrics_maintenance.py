@@ -36,7 +36,7 @@ def test_epoch_metrics_and_health(spark, tmp_path):
     rows = {r["epoch"]: r for r in m.collect()}
     assert len(rows) >= 4
     for r in rows.values():
-        assert r["consumed"] == r["rows_applied"] + r["dlq_rows"]
+        assert r["consumed"] == r["rows_valid"] + r["dlq_rows"]
         assert 0 <= r["error_rate"] <= 100
     # 20% invalid ⇒ warning under the reference's 10% rule
     assert metrics.overall_health(spark, table.root) == "warning"

@@ -149,3 +149,27 @@ def test_cow_replay_accounting_consumed_vs_applied(spark, tmp_path):
     assert replay["source_rows"] == 5
     assert replay["rows_applied"] == 0
     assert table.current_state(spark).count() == 5
+
+
+def test_batch_sessionization_subsecond_gap_parity(spark):
+    """The batch sessionization twin must honor SUB-SECOND gaps the way
+    the streaming session_window does: whole-second truncation turned a
+    600.2s gap into exactly 600 (= not > 600), merging sessions the
+    streaming operator splits (review r2 finding, verified live)."""
+    from datetime import datetime
+
+    from streaming_data_pipeline_spark.streaming.windows import (
+        repo_activity_sessions_batch,
+    )
+
+    rows = [
+        ("r", datetime(2026, 1, 1, 0, 0, 0, 700000), 1),
+        ("r", datetime(2026, 1, 1, 0, 10, 0, 900000), 2),  # gap 600.2s
+        ("r", datetime(2026, 1, 1, 0, 20, 0, 900000), 3),  # gap exactly 600.0s
+    ]
+    df = spark.createDataFrame(rows, "repo string, ts timestamp, lsn long")
+    out = repo_activity_sessions_batch(df, gap_seconds=600).collect()
+    # 600.2 > 600 -> new session; exactly 600.0 is NOT > 600 -> merged
+    assert len(out) == 2
+    sizes = sorted(r["n_changes"] for r in out)
+    assert sizes == [1, 2]
