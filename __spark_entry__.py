@@ -449,12 +449,25 @@ def q_ann_cosine_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-def q_ann_lsh(spark, sf_dir):  # Spark-only (hash-derived hyperplanes)
+def q_ann_lsh(spark, sf_dir):  # Spark-only (Gaussian numpy hyperplanes)
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     # b=4/T=32: measured recall 1.0 vs exact top-5 at sf0.001 AND sf0.01
     # (recall floor pinned in tests/test_operators_text.py)
     out = similarity.lsh_ann_topk(emb, queries, k=5, n_bits=4, n_tables=32)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_ann_lsh_sha(spark, sf_dir):
+    """Fully-oracled ANN-LSH twin: sha-derived ±1 hyperplanes make the
+    WHOLE pipeline (signatures → bucket candidates → exact-cosine
+    re-rank) reproducible in DuckDB — the minhash-sha precedent applied
+    to similarity search. Same params as q_ann_lsh."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = similarity.lsh_ann_topk(
+        emb, queries, k=5, n_bits=4, n_tables=32, hash_fn="sha"
+    )
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -562,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_lsh_sha": q_ann_lsh_sha,
         "ann_ivf": q_ann_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "windowed_change_rates": q_windowed_change_rates,
@@ -989,6 +1003,38 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
               FROM scored)
             SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
+        """,
+        "ann_lsh_sha": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            -- sha-derived Rademacher hyperplanes: identical matrix to the
+            -- engine's _sha_sign_planes (operators/similarity.py) — sign
+            -- from the first hex digit of sha256('seed|table|bit|dim')
+            w AS (
+              SELECT t, b,
+                     list(CASE WHEN substr(sha256(concat('42|', t, '|', b, '|', d)), 1, 1)
+                               BETWEEN '0' AND '7' THEN 1.0 ELSE -1.0 END ORDER BY d) AS pw
+              FROM generate_series(0, 31) tt(t), generate_series(0, 3) bb(b),
+                   generate_series(0, 63) dd(d)
+              GROUP BY t, b),
+            sig AS (
+              SELECT e.vec_id, w.t AS tbl,
+                     sum(CASE WHEN list_sum([e.v[i] * w.pw[i] FOR i IN generate_series(1, 64)]) > 0
+                              THEN (1::BIGINT << w.b) ELSE 0 END)::BIGINT AS sig
+              FROM e, w
+              GROUP BY e.vec_id, w.t),
+            cand AS (
+              SELECT DISTINCT c.vec_id AS neighbor_id, q.vec_id AS query_id
+              FROM sig c JOIN sig q ON c.tbl = q.tbl AND c.sig = q.sig
+              WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+            scored AS (
+              SELECT cand.query_id, cand.neighbor_id,
+                     round(list_cosine_similarity(cv.v, qv.v), 5) AS cosine
+              FROM cand JOIN e cv ON cv.vec_id = cand.neighbor_id
+                        JOIN e qv ON qv.vec_id = cand.query_id),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+            SELECT query_id, neighbor_id, rank::BIGINT AS rank, cosine
+            FROM ranked WHERE rank <= 5
         """,
         "embedding_near_dup": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

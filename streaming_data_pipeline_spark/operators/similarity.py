@@ -96,19 +96,23 @@ def lsh_ann_topk(
     n_bits: int = 12,
     n_tables: int = 4,
     seed: int = 42,
+    hash_fn: str = "numpy",
 ) -> DataFrame:
     """Approximate top-k: candidates share an SRP bucket in ≥1 of
     ``n_tables`` signature tables; exact cosine re-ranks candidates.
+    ``hash_fn='sha'`` swaps the Gaussian hyperplanes for sha-derived
+    ±1 planes (:func:`_sha_sign_planes`) — same pipeline, but a DuckDB
+    oracle can reproduce every stage.
     Signatures come from the Arrow-batched numpy kernel
     (:func:`srp_signature_rows` — one matmul per batch, identical
     seeded hyperplanes on both sides); the join is bucket-equi
     (shuffle/broadcast on small int keys), and the wide embedding
     column is re-joined by id only for the candidate pairs instead of
     riding the T-fold signature explosion."""
-    csig = srp_signature_rows(corpus, vec_col, id_col, dim, n_bits, n_tables, seed).select(
+    csig = srp_signature_rows(corpus, vec_col, id_col, dim, n_bits, n_tables, seed, hash_fn).select(
         F.col(id_col).alias("neighbor_id"), "tbl", "sig"
     )
-    qsig = srp_signature_rows(queries, vec_col, id_col, dim, n_bits, n_tables, seed).select(
+    qsig = srp_signature_rows(queries, vec_col, id_col, dim, n_bits, n_tables, seed, hash_fn).select(
         F.col(id_col).alias("query_id"), "tbl", "sig"
     )
     cand = (
@@ -252,6 +256,28 @@ def ivf_ann_topk(
     )
 
 
+def _sha_sign_planes(dim: int, n_bits: int, n_tables: int, seed: int):
+    """Rademacher (±1) hyperplanes derived from sha256(seed|t|b|d) —
+    still a valid signed-random-projection family for cosine LSH, but
+    expressible in plain SQL (a DuckDB CTE computes the identical
+    matrix), which makes the WHOLE pipeline — signatures, bucket
+    candidates, re-ranked top-k — oracle-checkable end to end, the
+    minhash-sha precedent applied to ANN. ±1 entries also keep each
+    dot a float64 sum of float32-precision terms (no multiplies that
+    widen mantissas), minimizing summation-order sensitivity."""
+    import hashlib
+
+    import numpy as np
+
+    planes = np.empty((dim, n_bits * n_tables))
+    for t in range(n_tables):
+        for b in range(n_bits):
+            for d in range(dim):
+                h = hashlib.sha256(f"{seed}|{t}|{b}|{d}".encode()).hexdigest()
+                planes[d, t * n_bits + b] = 1.0 if int(h[0], 16) < 8 else -1.0
+    return planes
+
+
 def srp_signature_rows(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -260,6 +286,7 @@ def srp_signature_rows(
     n_bits: int = 8,
     n_tables: int = 256,
     seed: int = 42,
+    hash_fn: str = "numpy",
 ) -> DataFrame:
     """(id, tbl, sig) rows: ``n_tables`` independent signed-random-
     projection signatures of ``n_bits`` each, computed in ONE
@@ -274,8 +301,11 @@ def srp_signature_rows(
     total = n_bits * n_tables
 
     def gen(batches):
-        rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((dim, total))
+        if hash_fn == "sha":
+            planes = _sha_sign_planes(dim, n_bits, n_tables, seed)
+        else:
+            rng = np.random.default_rng(seed)
+            planes = rng.standard_normal((dim, total))
         weights = 1 << np.arange(n_bits, dtype=np.int64)
         tbl_ids = np.arange(n_tables, dtype=np.int32)
         for pdf in batches:

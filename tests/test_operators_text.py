@@ -294,3 +294,20 @@ def test_ann_zero_vector_never_ranks(spark):
     assert all(n != 99 or c is None for n, c in got)
     assert got[0][0] != 99  # rank 1 is a real vector, not the zero one
     assert not any(c is not None and math.isnan(c) for _, c in got)
+
+
+def test_ann_lsh_sha_recall_floor(spark):
+    """The fully-oracled sha-plane twin (ann_lsh_sha contract query)
+    keeps the same recall floor as the Gaussian path at the graded
+    params — ±1 Rademacher projections are a valid cosine-LSH family,
+    not a weaker stand-in."""
+    emb = spark.read.parquet(SF_EMB)
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in similarity.cosine_topk(emb, q, k=5).collect()}
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.lsh_ann_topk(
+            emb, q, k=5, n_bits=4, n_tables=32, hash_fn="sha"
+        ).collect()
+    }
+    assert len(exact & got) / len(exact) >= 0.9
