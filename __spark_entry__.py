@@ -353,8 +353,18 @@ def q_dedup_minhash_lsh_sha(spark, sf_dir):
     )
 
 
-def q_dedup_simhash(spark, sf_dir):  # Spark-only (hash-based)
+def q_dedup_simhash(spark, sf_dir):  # Spark-only (xxhash64-based)
     return dedup_text.simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+
+
+def q_dedup_simhash_sha(spark, sf_dir):
+    """Fully-oracled SimHash twin: 60-bit sha256-prefix token hashes let
+    DuckDB recompute the identical bit-vote signatures, pigeonhole chunk
+    candidates, and verified Hamming pairs. Same radius as the xxhash
+    twin."""
+    return dedup_text.simhash_near_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=8, hash_fn="sha"
+    )
 
 
 def q_text_quality(spark, sf_dir):
@@ -563,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_lsh_sha": q_dedup_minhash_lsh_sha,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_sha": q_dedup_simhash_sha,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "token_stats": q_token_stats,
@@ -614,6 +625,50 @@ def _shingles_sql(
                           ELSE [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
                                 FOR i IN generate_series(1, len(t) - 2)] END) AS u(s)
               WHERE s <> '')"""
+
+
+def _simhash_sha_sql(width: int = 60, max_hamming: int = 8) -> str:
+    """DuckDB twin of simhash_near_pairs(hash_fn='sha'): identical 60-bit
+    sha-prefix token hashes, bit-vote signatures, pigeonhole chunk
+    layout (generated from the SAME divmod arithmetic as the operator),
+    and verified Hamming pairs."""
+    nc = min(max(max_hamming + 1, 2), width)
+    base, rem = divmod(width, nc)
+    widths = [base + 1 if i < rem else base for i in range(nc)]
+    offsets = [sum(widths[:i]) for i in range(nc)]
+    chunks = "\n              UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS chunk_id, "
+        f"(simhash >> {offsets[i]}) & {(1 << widths[i]) - 1} AS chunk FROM sim"
+        for i in range(nc)
+    )
+    return f"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+              FROM documents),
+            tok AS (SELECT doc_id, tk FROM toks, UNNEST(t) AS u(tk)),
+            -- 15 hex digits = 60 bits: fits a signed BIGINT exactly, and
+            -- matches the engine's conv(substring(sha2(tok),1,15),16,10)
+            th AS (SELECT doc_id, ('0x' || substr(sha256(tk), 1, 15))::BIGINT AS h FROM tok),
+            bits AS (
+              SELECT doc_id, b,
+                     CASE WHEN sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                          THEN 1::BIGINT << b ELSE 0::BIGINT END AS bit
+              FROM th, generate_series(0, {width - 1}) bb(b)
+              GROUP BY doc_id, b),
+            sim AS (SELECT doc_id, sum(bit)::BIGINT AS simhash FROM bits GROUP BY doc_id),
+            chunks AS (
+              {chunks}),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                              x.simhash AS sim_a, y.simhash AS sim_b
+              FROM chunks x JOIN chunks y ON x.chunk_id = y.chunk_id AND x.chunk = y.chunk
+              WHERE x.doc_id < y.doc_id)
+            SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b))::INT AS hamming
+            FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
+        """
+
+
+_SIMHASH_SHA_SQL = _simhash_sha_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1004,6 +1059,7 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
         """,
+        "dedup_simhash_sha": _SIMHASH_SHA_SQL,
         "ann_lsh_sha": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             -- sha-derived Rademacher hyperplanes: identical matrix to the

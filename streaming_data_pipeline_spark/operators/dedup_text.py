@@ -303,13 +303,25 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
+def simhash64(df: DataFrame, text_col: str = "text", hash_fn: str = "xxhash") -> DataFrame:
     """64-bit SimHash: per bit position, sum votes (+1 if token hash has
     the bit set, else -1) over all tokens; bit = 1 when the vote is
-    positive. Vectorized as explode → per-bit conditional sums."""
+    positive. Vectorized as explode → per-bit conditional sums.
+
+    ``hash_fn='sha'`` votes over a 60-bit sha256-prefix token hash
+    instead of xxhash64 — 15 hex digits fit a signed long exactly, and
+    a SQL engine computes the identical hash, making the whole SimHash
+    pipeline oracle-checkable (the minhash-sha precedent)."""
+    width = 60 if hash_fn == "sha" else 64
     toks = _spread(df).select(
         "doc_id", F.explode(normalized_tokens(text_col)).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    )
+    if hash_fn == "sha":
+        toks = toks.withColumn(
+            "h", F.conv(F.substring(F.sha2(F.col("tok"), 256), 1, 15), 16, 10).cast("long")
+        )
+    else:
+        toks = toks.withColumn("h", F.xxhash64("tok"))
     # shiftleft keeps the bit mask in JVM long space (1 << 63 would
     # overflow a Python-literal lit)
     votes = [
@@ -318,11 +330,11 @@ def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
                 F.col("h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0, 1
             ).otherwise(-1)
         ).alias(f"v_{b}")
-        for b in range(64)
+        for b in range(width)
     ]
     agg = toks.groupBy("doc_id").agg(*votes)
     sim = None
-    for b in range(64):
+    for b in range(width):
         bit = F.when(
             F.col(f"v_{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
         ).otherwise(F.lit(0).cast("long"))
@@ -330,7 +342,9 @@ def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
     return agg.select("doc_id", sim.alias("simhash"))
 
 
-def simhash_near_pairs(df: DataFrame, text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(
+    df: DataFrame, text_col: str = "text", max_hamming: int = 3, hash_fn: str = "xxhash"
+) -> DataFrame:
     """Near-dup pairs by SimHash with a RECALL GUARANTEE: block on
     ``max_hamming + 1`` bit chunks — by pigeonhole, a pair within Hamming
     distance ``max_hamming`` has at most that many differing bits, so at
@@ -339,11 +353,12 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", max_hamming: int =
     bit_count(xor). Wider radii mean narrower chunks (bigger buckets,
     more candidates) — the correct recall/cost trade, chosen here by the
     radius instead of silently losing pairs beyond a fixed 4-chunk split."""
-    n_chunks = min(max(max_hamming + 1, 2), 64)
-    base, rem = divmod(64, n_chunks)
+    width = 60 if hash_fn == "sha" else 64
+    n_chunks = min(max(max_hamming + 1, 2), width)
+    base, rem = divmod(width, n_chunks)
     widths = [base + 1 if i < rem else base for i in range(n_chunks)]
     offsets = [sum(widths[:i]) for i in range(n_chunks)]
-    sig = simhash64(df, text_col)
+    sig = simhash64(df, text_col, hash_fn)
     chunks = sig.select(
         "doc_id",
         "simhash",

@@ -32,6 +32,8 @@ FAST_QUERIES = [
     "token_stats",
     "multimodal_binary_stats",
     "ann_cosine_topk",
+    "ann_lsh_sha",       # sha-plane SRP: full LSH pipeline oracled (r2)
+    "dedup_simhash_sha", # sha-token SimHash: bit-vote + chunks oracled (r2)
 ]
 
 
