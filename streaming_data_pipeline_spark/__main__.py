@@ -56,6 +56,16 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--epoch", type=int, required=True, help="fresh epoch id for the replay commit")
     rp.add_argument("--mode", default="mor", choices=["mor", "cow"])
 
+    es = sub.add_parser("export-shard", help="curated training shard from the current snapshot")
+    es.add_argument("--table", required=True)
+    es.add_argument("--out", required=True)
+    es.add_argument("--rates", default="{}", help='per-lang keep %% as JSON, e.g. \'{"python":100}\'')
+    es.add_argument("--default-rate", type=int, default=10)
+
+    rs = sub.add_parser("refresh-shard", help="bring a shard forward via the change feed (no full rescan)")
+    rs.add_argument("--table", required=True)
+    rs.add_argument("--out", required=True)
+
     args = p.parse_args(argv)
 
     from .plans.lake import SnapshotTable
@@ -132,6 +142,19 @@ def main(argv: list[str] | None = None) -> int:
 
         stats = replay_dlq(spark, table, epoch=args.epoch, mode=args.mode)
         print(json.dumps({k: v for k, v in stats.items() if k != "files"}))
+    elif args.cmd == "export-shard":
+        from .plans.export import export_training_mix
+
+        man = export_training_mix(
+            spark, table, args.out,
+            rates=json.loads(args.rates), default_rate=args.default_rate,
+        )
+        print(json.dumps(man))
+    elif args.cmd == "refresh-shard":
+        from .plans.refresh import refresh_training_mix
+
+        man = refresh_training_mix(spark, table, args.out)
+        print(json.dumps(man))
     return 0
 
 

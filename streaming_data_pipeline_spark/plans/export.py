@@ -102,21 +102,36 @@ def export_training_mix(
             .filter((F.col("repo") == F.col("_keep.repo")) & (F.col("path") == F.col("_keep.path")))
             .drop("_keep")
         )
-        deduped, counts["after_exact_dedup"] = _stage(deduped, docs)
+        # docs stays cached through the whole export (not retired at the
+        # first stage boundary): the id-level INDEX written at the end
+        # covers EVERY live doc, keeper or not, and must not re-trigger
+        # the snapshot resolve
+        deduped, counts["after_exact_dedup"] = _stage(deduped, None)
+        keeper_ids = _persist(deduped.select("doc_id"))
+        keeper_ids.count()
 
-        # 2. decontamination against the benchmark/eval corpus
+        # 2. decontamination against the benchmark/eval corpus. The
+        # fail-sets are persisted id-frames: the index join below reuses
+        # them without re-running the shingle kernels.
+        contam = None
         if benchmark is not None:
-            contam = benchmark_contamination(
-                deduped.select("doc_id", "text"), benchmark, n=n
-            ).filter(F.col("contamination_ratio") > max_contamination).select("doc_id")
+            contam = _persist(
+                benchmark_contamination(deduped.select("doc_id", "text"), benchmark, n=n)
+                .filter(F.col("contamination_ratio") > max_contamination)
+                .select("doc_id")
+            )
+            contam.count()
             deduped, counts["after_decontamination"] = _stage(
                 deduped.join(contam, "doc_id", "left_anti"), deduped
             )
 
         # 3. repetition filter (degenerate loops out)
-        reps = repetition_score(deduped.select("doc_id", "text"), n=n).filter(
-            F.col("repetition_ratio") > max_repetition
-        ).select("doc_id")
+        reps = _persist(
+            repetition_score(deduped.select("doc_id", "text"), n=n)
+            .filter(F.col("repetition_ratio") > max_repetition)
+            .select("doc_id")
+        )
+        reps.count()
         deduped, counts["after_repetition_filter"] = _stage(
             deduped.join(reps, "doc_id", "left_anti"), deduped
         )
@@ -136,12 +151,27 @@ def export_training_mix(
             .partitionBy("lang")
             .parquet(os.path.join(out_dir, "data"))
         )
+        # id-level index (no text — tiny next to the corpus): one row per
+        # live doc with its content sha and every curation decision. The
+        # substrate for plans/refresh.py, which recomputes decisions ONLY
+        # for docs the change feed touched instead of re-scanning 100 TB.
+        write_index(
+            keyed.select("doc_id", "repo", "path", "lang", "_sha"),
+            keeper_ids,
+            contam,
+            reps,
+            sampled.select("doc_id"),
+            benchmark_used=benchmark is not None,
+            dest=os.path.join(out_dir, "_index"),
+        )
         manifest = {
             "snapshot_version": v,
             "rates": rates,
             "default_rate": default_rate,
             "max_contamination": max_contamination if benchmark is not None else None,
             "max_repetition": max_repetition,
+            "n": n,
+            "benchmark_used": benchmark is not None,
             "counts": counts,
         }
         _atomic_write_json(manifest, os.path.join(out_dir, "_manifest.json"))
@@ -151,3 +181,59 @@ def export_training_mix(
         for f in cached:
             f.unpersist()
     return manifest
+
+
+def write_index(
+    ids: DataFrame,
+    keeper_ids: DataFrame,
+    contam_fail: DataFrame | None,
+    rep_fail: DataFrame,
+    sampled_ids: DataFrame,
+    *,
+    benchmark_used: bool,
+    dest: str,
+) -> None:
+    """Write the curation index: (doc_id, repo, path, lang, _sha,
+    is_keeper, passed_decontam, passed_repetition, sampled).
+
+    Flag semantics mirror the export stages exactly — refresh carries
+    them forward for untouched docs, so they must be REPLAYABLE:
+      - is_keeper: doc is the canonical (min repo,path) of its sha group;
+      - passed_decontam: null unless keeper; True for every keeper when
+        no benchmark was supplied;
+      - passed_repetition: null unless keeper AND passed_decontam
+        (the repetition stage only ever saw decontam survivors);
+      - sampled: null unless passed_repetition; else the deterministic
+        per-stratum hash decision."""
+    idx = ids.join(keeper_ids.withColumn("_k", F.lit(True)), "doc_id", "left")
+    if contam_fail is not None:
+        idx = idx.join(contam_fail.withColumn("_cf", F.lit(True)), "doc_id", "left")
+    else:
+        idx = idx.withColumn("_cf", F.lit(None).cast("boolean"))
+    idx = idx.join(rep_fail.withColumn("_rf", F.lit(True)), "doc_id", "left")
+    idx = idx.join(sampled_ids.withColumn("_sm", F.lit(True)), "doc_id", "left")
+
+    is_k = F.coalesce(F.col("_k"), F.lit(False))
+    passed_c = F.when(
+        is_k,
+        F.lit(True) if not benchmark_used else ~F.coalesce(F.col("_cf"), F.lit(False)),
+    )
+    passed_r = F.when(passed_c, ~F.coalesce(F.col("_rf"), F.lit(False)))
+    samp = F.when(passed_r, F.coalesce(F.col("_sm"), F.lit(False)))
+    (
+        idx.select(
+            "doc_id",
+            "repo",
+            "path",
+            "lang",
+            "_sha",
+            is_k.alias("is_keeper"),
+            passed_c.alias("passed_decontam"),
+            passed_r.alias("passed_repetition"),
+            samp.alias("sampled"),
+        )
+        .repartition(4)
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(dest)
+    )

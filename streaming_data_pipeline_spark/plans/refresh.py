@@ -1,0 +1,365 @@
+"""Incremental training-mix refresh driven by the lake's change feed.
+
+The CDC capstone: after `export_training_mix` wrote a curated shard at
+snapshot v0, the lake keeps ingesting. A refresh at v1 must NOT
+re-curate 100 TB — the change feed (`changes_between`) names exactly
+the keys that moved, and the export's id-level index (`_index`) holds
+every prior curation decision. Work scales with the DELTA:
+
+  1. changed keys   ← change feed v0→v1 (inserts/updates/deletes);
+  2. new state rows ← bucket-PRUNED read of v1, semi-joined to the
+     changed keys (never a full table scan);
+  3. affected sha groups = old shas of changed docs ∪ new shas — the
+     only exact-dedup groups whose keeper can change;
+  4. keepers recomputed for those groups from the updated index
+     (id-level — no text);
+  5. filter flags (decontam, repetition, sampling) recomputed ONLY for
+     keepers that are new/changed or newly promoted; every other doc
+     carries its flags forward;
+  6. the shard is rewritten per affected lang partition: previous rows
+     of untouched sha groups are kept byte-identical, touched groups
+     are replaced. Untouched lang partitions are not rewritten at all.
+
+Equivalence contract (pinned by tests/test_refresh.py): the refreshed
+shard, index and manifest equal a from-scratch `export_training_mix`
+at v1 with the same config.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.curation import (
+    benchmark_contamination,
+    hash_stratified_sample,
+    repetition_score,
+)
+from .export import write_index
+from .lake import SnapshotTable, _atomic_write_json
+
+
+def _doc_flags(
+    docs: DataFrame,
+    benchmark: DataFrame | None,
+    max_contamination: float,
+    max_repetition: float,
+    n: int,
+    rates: dict[str, int],
+    default_rate: int,
+) -> DataFrame:
+    """(doc_id, passed_decontam, passed_repetition, sampled) for keeper
+    docs carrying text — the same stage order and semantics as the full
+    export: repetition is only evaluated for decontamination survivors,
+    sampling only for repetition survivors."""
+    flags = docs.select("doc_id", "lang")
+    if benchmark is not None:
+        cf = (
+            benchmark_contamination(docs.select("doc_id", "text"), benchmark, n=n)
+            .filter(F.col("contamination_ratio") > max_contamination)
+            .select("doc_id", F.lit(True).alias("_cf"))
+        )
+        flags = flags.join(cf, "doc_id", "left")
+        passed_c = ~F.coalesce(F.col("_cf"), F.lit(False))
+    else:
+        passed_c = F.lit(True)
+    rf = (
+        repetition_score(docs.select("doc_id", "text"), n=n)
+        .filter(F.col("repetition_ratio") > max_repetition)
+        .select("doc_id", F.lit(True).alias("_rf"))
+    )
+    flags = flags.join(rf, "doc_id", "left")
+    passed_r = F.when(passed_c, ~F.coalesce(F.col("_rf"), F.lit(False)))
+    sm = hash_stratified_sample(
+        docs.select("doc_id", "lang"),
+        rates=rates,
+        default_rate=default_rate,
+        key_col="doc_id",
+        strata_col="lang",
+    ).select("doc_id", F.lit(True).alias("_sm"))
+    flags = flags.join(sm, "doc_id", "left")
+    samp = F.when(passed_r, F.coalesce(F.col("_sm"), F.lit(False)))
+    return flags.select(
+        "doc_id",
+        passed_c.alias("passed_decontam"),
+        passed_r.alias("passed_repetition"),
+        samp.alias("sampled"),
+    )
+
+
+def _pruned_state_for_keys(
+    spark: SparkSession, table: SnapshotTable, version: int, keys: DataFrame
+) -> DataFrame:
+    """Live rows at ``version`` for exactly ``keys`` (repo, path) — the
+    scan opens only the keys' buckets (manifest-level pruning), then a
+    semi join narrows to the keys themselves. Bucket-id collect is
+    bounded by n_buckets (metadata size, never data size)."""
+    nb = table.metadata(version)["n_buckets"]
+    bucket_ids = {
+        r[0]
+        for r in keys.select(
+            F.pmod(F.xxhash64("repo", "path"), F.lit(nb)).alias("b")
+        )
+        .distinct()
+        .collect()
+    }
+    if not bucket_ids:
+        return table.read(spark, version).limit(0).filter(~F.col("_deleted"))
+    state = table.read(spark, version=version, buckets=bucket_ids, resolved=True)
+    return state.filter(~F.col("_deleted")).join(
+        keys.select("repo", "path"), ["repo", "path"], "left_semi"
+    )
+
+
+def refresh_training_mix(
+    spark: SparkSession,
+    table: SnapshotTable,
+    out_dir: str,
+    *,
+    benchmark: DataFrame | None = None,
+    version: int | None = None,
+) -> dict:
+    """Bring the shard at ``out_dir`` forward to snapshot ``version``
+    (default current). Returns the new manifest. ``benchmark`` must be
+    the same frame the original export used (the manifest records
+    whether one was used; a mismatch raises)."""
+    with open(os.path.join(out_dir, "_manifest.json")) as f:
+        man = json.load(f)
+    if man.get("benchmark_used", False) != (benchmark is not None):
+        raise ValueError(
+            "benchmark presence must match the original export "
+            f"(benchmark_used={man.get('benchmark_used', False)})"
+        )
+    v0 = man["snapshot_version"]
+    v1 = table.current_version() if version is None else version
+    if v1 == v0:
+        return man
+    rates = man["rates"]
+    default_rate = man["default_rate"]
+    max_c = man["max_contamination"]
+    max_r = man["max_repetition"]
+    n = man.get("n", 3)
+
+    idx0 = spark.read.parquet(os.path.join(out_dir, "_index"))
+
+    def _persist(frame: DataFrame) -> DataFrame:
+        """Materialize AND truncate lineage (eager localCheckpoint, disk-
+        backed). Plain persist() is wrong here twice over: (a) the frames
+        stack — each stage's plan embeds every upstream plan, and the
+        compounded tree OOMed the driver just BUILDING the AQE explain
+        string; (b) an evicted cached partition lazily re-reads source
+        files this function later swaps. Checkpoint blocks are the data,
+        not a cache over it."""
+        return frame.localCheckpoint(eager=True)
+
+    # 1. the delta names every touched key (deletes included)
+    changed = _persist(
+        table.changes_between(spark, v0, v1)
+        .select("repo", "path")
+        .distinct()
+        .withColumn("doc_id", F.xxhash64("repo", "path"))
+    )
+
+    # 2. their CURRENT rows, bucket-pruned (deleted keys vanish here)
+    docs_new = _persist(
+        _pruned_state_for_keys(spark, table, v1, changed)
+        .select(
+            F.xxhash64("repo", "path").alias("doc_id"),
+            "repo",
+            "path",
+            "lang",
+            F.col("content").alias("text"),
+        )
+        .withColumn("_sha", F.sha2(F.col("text"), 256))
+    )
+
+    # 3. updated id-level universe + the sha groups whose keeper can move
+    ids1 = idx0.join(changed.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id", "repo", "path", "lang", "_sha"
+    ).unionByName(docs_new.select("doc_id", "repo", "path", "lang", "_sha"))
+    aff_shas = _persist(
+        idx0.join(changed.select("doc_id"), "doc_id", "left_semi")
+        .select("_sha")
+        .unionByName(docs_new.select("_sha"))
+        .distinct()
+    )
+
+    members = _persist(ids1.join(aff_shas, "_sha", "left_semi"))
+    new_keepers = members.join(
+        members.groupBy("_sha").agg(F.min(F.struct("repo", "path")).alias("_k")),
+        "_sha",
+    ).filter(
+        (F.col("repo") == F.col("_k.repo")) & (F.col("path") == F.col("_k.path"))
+    ).drop("_k")
+    new_keepers = _persist(new_keepers)
+
+    # 4. flag recompute set: keepers whose decisions cannot be carried —
+    #    changed content (text in docs_new) or newly promoted (text
+    #    fetched from the lake, again bucket-pruned)
+    prev_flags = idx0.filter(F.col("is_keeper")).select(
+        "doc_id", "passed_decontam", "passed_repetition", "sampled"
+    )
+    carried = (
+        new_keepers.join(docs_new.select("doc_id"), "doc_id", "left_anti")
+        .join(prev_flags, "doc_id", "left")
+    )
+    carry_ok = carried.filter(F.col("passed_decontam").isNotNull())
+    promoted = carried.filter(F.col("passed_decontam").isNull()).select(
+        "doc_id", "repo", "path", "lang", "_sha"
+    )
+    fetched = _persist(
+        _pruned_state_for_keys(spark, table, v1, promoted.select("repo", "path"))
+        .select(
+            F.xxhash64("repo", "path").alias("doc_id"),
+            "repo",
+            "path",
+            "lang",
+            F.col("content").alias("text"),
+        )
+        .withColumn("_sha", F.sha2(F.col("text"), 256))
+    )
+    changed_keepers = docs_new.join(
+        new_keepers.select("doc_id"), "doc_id", "left_semi"
+    )
+    recompute = _persist(changed_keepers.unionByName(fetched))
+    new_flags = _doc_flags(
+        recompute, benchmark, max_c, max_r, n, rates, default_rate
+    )
+
+    keeper_flags = _persist(
+        carry_ok.select(
+            "doc_id", "_sha", "lang",
+            "passed_decontam", "passed_repetition", "sampled",
+        ).unionByName(
+            recompute.select("doc_id", "_sha", "lang").join(new_flags, "doc_id")
+        )
+    )
+
+    # 5. shard delta: every prior row of an affected sha group (or a
+    #    changed key) goes; every sampled keeper of an affected group
+    #    comes back with its current text
+    shard0 = spark.read.parquet(os.path.join(out_dir, "data"))
+    shard0 = shard0.withColumn("doc_id", F.xxhash64("repo", "path"))
+    # persisted: the per-lang rewrite loop below swaps partition dirs
+    # as it goes — a lazy re-evaluation of this frame mid-loop would
+    # re-list already-rewritten partitions
+    removals = _persist(
+        shard0.join(aff_shas, "_sha", "left_semi")
+        .unionByName(shard0.join(changed.select("doc_id"), "doc_id", "left_semi"))
+        .select("doc_id")
+        .distinct()
+    )
+
+    sampled_new = keeper_flags.filter(F.col("sampled")).select("doc_id")
+    add_text = recompute.join(sampled_new, "doc_id", "left_semi").select(
+        "doc_id", "repo", "path", "lang", "text", "_sha"
+    )
+    # carried-and-still-sampled docs re-enter with their prior shard text
+    add_carry = (
+        shard0.join(sampled_new, "doc_id", "left_semi")
+        .join(add_text.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", "repo", "path", "lang", "text", "_sha")
+    )
+    additions = _persist(add_text.unionByName(add_carry))
+
+    langs = {
+        r[0]
+        for r in removals.join(shard0.select("doc_id", "lang"), "doc_id")
+        .select("lang")
+        .unionByName(additions.select("lang"))
+        .distinct()
+        .collect()
+    }
+    # STAGE every rewritten partition first, swap NOTHING yet: a
+    # persisted frame is not a durability barrier — under memory
+    # pressure an evicted partition lazily re-reads its source files,
+    # and a source partition already swapped mid-loop would feed the
+    # recompute corrupt (new) data. All Spark reads of the old shard
+    # and old index happen before the first destructive file op.
+    for lang in sorted(langs):
+        part = (
+            shard0.filter(F.col("lang") == lang)
+            .join(removals, "doc_id", "left_anti")
+            .select("repo", "path", "text", "_sha")
+            .unionByName(
+                additions.filter(F.col("lang") == lang).select(
+                    "repo", "path", "text", "_sha"
+                )
+            )
+        )
+        (
+            part.repartition(1)
+            .sortWithinPartitions("repo", "path")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "data", f"_tmp_lang={lang}"))
+        )
+
+    # new index + manifest (counts from id-level aggregates)
+    untouched = idx0.join(changed.select("doc_id"), "doc_id", "left_anti").join(
+        aff_shas, "_sha", "left_anti"
+    )
+    # is_keeper for affected rows: membership in new_keepers, not a
+    # flag heuristic — a keeper can legitimately have all-false flags
+    affected_rows = (
+        members.join(new_keepers.select("doc_id", F.lit(True).alias("is_keeper")), "doc_id", "left")
+        .withColumn("is_keeper", F.coalesce(F.col("is_keeper"), F.lit(False)))
+        .join(
+            keeper_flags.select(
+                "doc_id", "passed_decontam", "passed_repetition", "sampled"
+            ),
+            "doc_id",
+            "left",
+        )
+    )
+    idx1 = untouched.select(
+        "doc_id", "repo", "path", "lang", "_sha",
+        "is_keeper", "passed_decontam", "passed_repetition", "sampled",
+    ).unionByName(
+        affected_rows.select(
+            "doc_id", "repo", "path", "lang", "_sha",
+            "is_keeper", "passed_decontam", "passed_repetition", "sampled",
+        )
+    )
+    (
+        idx1.repartition(4)
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "_index_new"))
+    )
+    # aggregate from the DURABLY WRITTEN new index — never from a
+    # cached frame whose lineage reaches the about-to-be-swapped dirs
+    agg = spark.read.parquet(os.path.join(out_dir, "_index_new")).agg(
+        F.count(F.lit(1)).alias("state_rows"),
+        F.sum(F.col("is_keeper").cast("long")).alias("keepers"),
+        F.sum(F.coalesce(F.col("passed_decontam"), F.lit(False)).cast("long")).alias("pc"),
+        F.sum(F.coalesce(F.col("passed_repetition"), F.lit(False)).cast("long")).alias("pr"),
+        F.sum(F.coalesce(F.col("sampled"), F.lit(False)).cast("long")).alias("sm"),
+    ).collect()[0]
+    counts = {"state_rows": agg["state_rows"], "after_exact_dedup": agg["keepers"]}
+    if benchmark is not None:
+        counts["after_decontamination"] = agg["pc"]
+    counts["after_repetition_filter"] = agg["pr"]
+    counts["sampled"] = agg["sm"]
+
+    # every Spark job is done — NOW the pure-file-op swaps
+    import shutil
+
+    for lang in sorted(langs):
+        dest = os.path.join(out_dir, "data", f"lang={lang}")
+        shutil.rmtree(dest, ignore_errors=True)
+        os.rename(os.path.join(out_dir, "data", f"_tmp_lang={lang}"), dest)
+    shutil.rmtree(os.path.join(out_dir, "_index"))
+    os.rename(os.path.join(out_dir, "_index_new"), os.path.join(out_dir, "_index"))
+
+    manifest = {
+        **man,
+        "snapshot_version": v1,
+        "counts": counts,
+        "refreshed_from": v0,
+        "changed_keys": changed.count(),
+    }
+    _atomic_write_json(manifest, os.path.join(out_dir, "_manifest.json"))
+    return manifest

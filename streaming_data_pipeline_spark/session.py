@@ -72,6 +72,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.shuffle.spill.compress", "true")
+        # AQE builds a full plan-explain string per re-optimization even
+        # when nobody reads it; a deeply-stacked plan (multi-stage frames
+        # over cached/unioned lineage) OOMed the driver inside
+        # explainString. Cap it — 1 MB of plan text is already unreadable.
+        .config("spark.sql.maxPlanStringLength", "1048576")
         # ObjectHashAggregateExec (TypedImperative aggs: collect_list,
         # percentile, ...) falls back to sort-based at 128 (!) distinct
         # keys per task by default — every reducer then external-sorts

@@ -76,3 +76,15 @@ def test_cli_full_operator_workflow(spark, tmp_path, capsys):
                      if l.startswith("{")][-1])
     assert ro["deleted_files"] == 0
     assert table.state_hash(spark) == h
+
+    # export a curated shard, then a same-version refresh is a no-op
+    out = str(tmp_path / "shard")
+    assert main(["export-shard", "--table", root, "--out", out,
+                 "--rates", '{"python": 100}', "--default-rate", "100"]) == 0
+    man = json.loads([l for l in capsys.readouterr().out.splitlines()
+                      if l.startswith("{")][-1])
+    assert man["counts"]["sampled"] > 0
+    assert main(["refresh-shard", "--table", root, "--out", out]) == 0
+    man2 = json.loads([l for l in capsys.readouterr().out.splitlines()
+                       if l.startswith("{")][-1])
+    assert man2["snapshot_version"] == man["snapshot_version"]
