@@ -114,6 +114,48 @@ def _pruned_state_for_keys(
     )
 
 
+def _parquet_rows(d: str) -> int:
+    import pyarrow.parquet as pq
+
+    total = 0
+    for fn in os.listdir(d):
+        if fn.endswith(".parquet"):
+            total += pq.ParquetFile(os.path.join(d, fn)).metadata.num_rows
+    return total
+
+
+def _recover_interrupted_swaps(out_dir: str) -> None:
+    """Finish or unwind a torn dir swap from a crashed refresh. The swap
+    protocol (rename-aside → install → drop-old, manifest last) makes
+    this unambiguous: a live dir missing with its _old present means the
+    crash hit between the two renames — restore; _old alongside a live
+    dir means the crash hit before the old dir was dropped — drop it;
+    stray _tmp/_new staging is always discardable (it is re-derived)."""
+    import shutil
+
+    data = os.path.join(out_dir, "data")
+    if os.path.isdir(data):
+        for name in sorted(os.listdir(data)):
+            full = os.path.join(data, name)
+            if name.startswith("_tmp_lang="):
+                shutil.rmtree(full)
+            elif name.startswith("_old_lang="):
+                live = os.path.join(data, name[len("_old_"):])
+                if os.path.exists(live):
+                    shutil.rmtree(full)
+                else:
+                    os.rename(full, live)
+    new = os.path.join(out_dir, "_index_new")
+    if os.path.exists(new):
+        shutil.rmtree(new)
+    old_idx = os.path.join(out_dir, "_index_old")
+    if os.path.exists(old_idx):
+        if os.path.exists(os.path.join(out_dir, "_index")):
+            shutil.rmtree(old_idx)
+        else:
+            os.rename(old_idx, os.path.join(out_dir, "_index"))
+
+
 def refresh_training_mix(
     spark: SparkSession,
     table: SnapshotTable,
@@ -126,6 +168,7 @@ def refresh_training_mix(
     (default current). Returns the new manifest. ``benchmark`` must be
     the same frame the original export used (the manifest records
     whether one was used; a mismatch raises)."""
+    _recover_interrupted_swaps(out_dir)
     with open(os.path.join(out_dir, "_manifest.json")) as f:
         man = json.load(f)
     if man.get("benchmark_used", False) != (benchmark is not None):
@@ -137,6 +180,27 @@ def refresh_training_mix(
     v1 = table.current_version() if version is None else version
     if v1 == v0:
         return man
+    if v1 < v0:
+        raise ValueError(
+            f"refresh target v{v1} is OLDER than the shard's snapshot "
+            f"v{v0}; a shard cannot be rolled back incrementally — "
+            "re-export from scratch"
+        )
+    # the change feed is the refresh's ONLY source of truth, and two
+    # snapshot operations are invisible to it: COW merges (their rewritten
+    # bucket files carry kind='base', indistinguishable from compaction)
+    # and rollbacks (the feed deliberately skips re-published manifests).
+    # Refreshing across either would silently ship a stale shard that
+    # still claims snapshot_version=v1.
+    for v in range(v0 + 1, v1 + 1):
+        meta_v = table.metadata(v)
+        op = meta_v["snapshots"][str(meta_v["current_snapshot_id"])].get("operation")
+        if op in ("merge", "rollback"):
+            raise ValueError(
+                f"snapshot v{v} is a {op!r} commit, which the change feed "
+                "cannot represent; refresh only spans append/maintenance "
+                "history — re-export from scratch"
+            )
     rates = man["rates"]
     default_rate = man["default_rate"]
     max_c = man["max_contamination"]
@@ -243,14 +307,12 @@ def refresh_training_mix(
     #    comes back with its current text
     shard0 = spark.read.parquet(os.path.join(out_dir, "data"))
     shard0 = shard0.withColumn("doc_id", F.xxhash64("repo", "path"))
-    # persisted: the per-lang rewrite loop below swaps partition dirs
-    # as it goes — a lazy re-evaluation of this frame mid-loop would
-    # re-list already-rewritten partitions
+    # sha-based removal is complete on its own: a changed doc present in
+    # the shard was live at v0, so its shard sha is in aff_shas already.
+    # Checkpointed: lazy re-evaluation after the partition swaps below
+    # would re-list rewritten dirs.
     removals = _persist(
-        shard0.join(aff_shas, "_sha", "left_semi")
-        .unionByName(shard0.join(changed.select("doc_id"), "doc_id", "left_semi"))
-        .select("doc_id")
-        .distinct()
+        shard0.join(aff_shas, "_sha", "left_semi").select("doc_id").distinct()
     )
 
     sampled_new = keeper_flags.filter(F.col("sampled")).select("doc_id")
@@ -338,21 +400,53 @@ def refresh_training_mix(
         F.sum(F.coalesce(F.col("passed_repetition"), F.lit(False)).cast("long")).alias("pr"),
         F.sum(F.coalesce(F.col("sampled"), F.lit(False)).cast("long")).alias("sm"),
     ).collect()[0]
-    counts = {"state_rows": agg["state_rows"], "after_exact_dedup": agg["keepers"]}
+    # int(x or 0): sums over an EMPTY index are SQL nulls, but the
+    # export's .count()-based manifest writes integer zeros
+    counts = {
+        "state_rows": int(agg["state_rows"] or 0),
+        "after_exact_dedup": int(agg["keepers"] or 0),
+    }
     if benchmark is not None:
-        counts["after_decontamination"] = agg["pc"]
-    counts["after_repetition_filter"] = agg["pr"]
-    counts["sampled"] = agg["sm"]
+        counts["after_decontamination"] = int(agg["pc"] or 0)
+    counts["after_repetition_filter"] = int(agg["pr"] or 0)
+    counts["sampled"] = int(agg["sm"] or 0)
 
-    # every Spark job is done — NOW the pure-file-op swaps
+    # every Spark job is done — NOW the pure-file-op swaps. Never
+    # rmtree-then-rename (a crash in between loses the partition's
+    # untouched rows forever): rename the live dir ASIDE, install the
+    # staged one, then drop the old — every crash window leaves either
+    # the old or the new dir intact, and _recover_interrupted_swaps
+    # (called on entry) finishes or unwinds a torn swap. The manifest is
+    # written LAST, so a re-run after any crash recomputes from a
+    # consistent (v0-manifest, recovered-dirs) state — idempotent.
     import shutil
 
+    def _swap_in(tmp: str, dest: str, old: str) -> None:
+        if os.path.exists(dest):
+            os.rename(dest, old)
+        os.rename(tmp, dest)
+        shutil.rmtree(old, ignore_errors=True)
+
     for lang in sorted(langs):
-        dest = os.path.join(out_dir, "data", f"lang={lang}")
-        shutil.rmtree(dest, ignore_errors=True)
-        os.rename(os.path.join(out_dir, "data", f"_tmp_lang={lang}"), dest)
-    shutil.rmtree(os.path.join(out_dir, "_index"))
-    os.rename(os.path.join(out_dir, "_index_new"), os.path.join(out_dir, "_index"))
+        data = os.path.join(out_dir, "data")
+        tmp = os.path.join(data, f"_tmp_lang={lang}")
+        dest = os.path.join(data, f"lang={lang}")
+        if _parquet_rows(tmp) == 0:
+            # a fully-emptied partition is REMOVED, matching a full
+            # export (partitionBy writes no dir for an empty stratum) —
+            # installing a 0-row dir would accumulate dead partitions.
+            # Direct rmtree is crash-safe here: an emptied partition
+            # held ONLY affected-sha rows, so a partial delete leaves
+            # rows a re-run removes again (manifest still says v0).
+            shutil.rmtree(tmp)
+            shutil.rmtree(dest, ignore_errors=True)
+        else:
+            _swap_in(tmp, dest, os.path.join(data, f"_old_lang={lang}"))
+    _swap_in(
+        os.path.join(out_dir, "_index_new"),
+        os.path.join(out_dir, "_index"),
+        os.path.join(out_dir, "_index_old"),
+    )
 
     manifest = {
         **man,
@@ -362,4 +456,11 @@ def refresh_training_mix(
         "changed_keys": changed.count(),
     }
     _atomic_write_json(manifest, os.path.join(out_dir, "_manifest.json"))
+    # checkpoint blocks (several frames carry full document text) are
+    # reclaimed when their RDDs are GC'd; prompt that now so repeated
+    # refreshes in a long-lived session don't stack dead blocks until
+    # Python happens to collect
+    import gc
+
+    gc.collect()
     return manifest

@@ -118,3 +118,82 @@ def test_refresh_with_benchmark(spark, tmp_path):
 
     with pytest.raises(ValueError, match="benchmark"):
         refresh_training_mix(spark, table, outA)
+
+
+def test_refresh_refuses_feed_invisible_history(spark, tmp_path):
+    """COW merges and rollbacks are invisible to the change feed (base
+    files / republished manifests); refreshing across them would ship a
+    silently stale shard — the refresh must refuse instead."""
+    import pytest
+
+    table = _seed(spark, tmp_path)
+    out = str(tmp_path / "s")
+    export_training_mix(spark, table, out, rates=RATES, default_rate=50)
+
+    apply_changes(spark, table, _batch(spark, [_ev("insert", "x.py", 300, "xx\n")]), 1, mode="cow")
+    with pytest.raises(ValueError, match="merge"):
+        refresh_training_mix(spark, table, out)
+
+    # a rollback in range refuses too
+    table2 = _seed(spark, tmp_path / "t2")
+    out2 = str(tmp_path / "s2")
+    export_training_mix(spark, table2, out2, rates=RATES, default_rate=50)
+    v_pre = table2.current_version()
+    apply_changes(spark, table2, _batch(spark, [_ev("insert", "y.py", 301, "yy\n")]), 1)
+    table2.rollback(v_pre)
+    with pytest.raises(ValueError, match="rollback"):
+        refresh_training_mix(spark, table2, out2)
+
+    # and an OLDER target version refuses outright
+    with pytest.raises(ValueError, match="OLDER"):
+        refresh_training_mix(spark, table2, out2, version=0)
+
+
+def test_refresh_recovers_from_torn_swap(spark, tmp_path):
+    """A crash between the swap renames leaves an _old_lang dir; the next
+    refresh restores it before computing, so no untouched rows are
+    lost."""
+    import os
+
+    table = _seed(spark, tmp_path)
+    out = str(tmp_path / "s")
+    export_training_mix(spark, table, out, rates=RATES, default_rate=50)
+
+    # simulate the torn window: live dir renamed aside, new never landed
+    os.rename(f"{out}/data/lang=go", f"{out}/data/_old_lang=go")
+
+    _mutate(spark, table)
+    refresh_training_mix(spark, table, out)
+    outB = str(tmp_path / "full")
+    export_training_mix(spark, table, outB, rates=RATES, default_rate=50)
+    assert _shard_rows(spark, out) == _shard_rows(spark, outB)
+
+
+def test_refresh_empties_partition_like_full_export(spark, tmp_path):
+    """Deleting every doc of a lang removes its partition dir (a full
+    export writes none), and an all-deleted lake yields integer-zero
+    counts, not JSON nulls."""
+    import os
+
+    table = _seed(spark, tmp_path)
+    out = str(tmp_path / "s")
+    export_training_mix(spark, table, out, rates=RATES, default_rate=100)
+    assert os.path.isdir(f"{out}/data/lang=java")
+
+    # delete every java doc (i % 3 == 2) and the loop doc
+    rows = [_ev("delete", f"f{i}.py", 400 + i, None) for i in range(40) if i % 3 == 2]
+    apply_changes(spark, table, _batch(spark, rows), 1)
+    man = refresh_training_mix(spark, table, out)
+    assert not os.path.isdir(f"{out}/data/lang=java")
+    assert man["counts"]["sampled"] > 0  # other langs intact
+
+    # now delete everything else
+    rows = [_ev("delete", f"f{i}.py", 500 + i, None) for i in range(40) if i % 3 != 2]
+    rows.append(_ev("delete", "loop.py", 600, None))
+    apply_changes(spark, table, _batch(spark, rows), 2)
+    man = refresh_training_mix(spark, table, out)
+    assert man["counts"] == {
+        "state_rows": 0, "after_exact_dedup": 0,
+        "after_repetition_filter": 0, "sampled": 0,
+    }
+    assert not any(d.startswith("lang=") for d in os.listdir(f"{out}/data"))
