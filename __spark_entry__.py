@@ -604,6 +604,11 @@ _LWW_CTE = (
 )
 
 _TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+# token-stat oracles drop the empty tokens split('') produces (mirrors
+# operators/text.tokens_col); the dedup_exact oracle keeps them — its
+# Spark twin joins the RAW split, where a kept boundary-empty token is
+# part of the normalized content string
+_TOKS_NE = f"list_filter({_TOKS}, x -> x <> '')"
 
 
 def _shingles_sql(
@@ -902,7 +907,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5
         """,
         "text_quality": f"""
-            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            WITH t AS (SELECT doc_id, {_TOKS_NE} AS toks FROM documents),
             m AS (SELECT doc_id,
                          len(toks) AS n,
                          len(list_distinct(toks)) AS nd,
@@ -935,9 +940,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_stats": f"""
             SELECT doc_id,
-                   len({_TOKS})::BIGINT AS n_tokens,
+                   len({_TOKS_NE})::BIGINT AS n_tokens,
                    ceil(length(text) / 4.0)::BIGINT AS n_bpe_est,
-                   round(length(text) * 1.0 / greatest(len({_TOKS}), 1), 4) AS avg_token_len
+                   round(list_sum(list_transform({_TOKS_NE}, x -> len(x))) * 1.0 / greatest(len({_TOKS_NE}), 1), 4) AS avg_token_len
             FROM documents
         """,
         "doc_fingerprint": """

@@ -10,8 +10,8 @@ O(n) with partial combine — SURVEY.md §2.1 "Aggregations").
 Hot-key salting: one (repo, path) key receiving a large fraction of a
 batch (a bot rewriting one file) funnels into a single reducer. The
 two-phase variant salts the first aggregation with
-`pmod(xxhash64(lsn), k)` so the hot key's rows combine across k
-reducers, then a second (tiny) aggregation resolves the winner. The
+`pmod(xxhash64(lsn, commit), k)` so the hot key's rows combine across
+k reducers, then a second (tiny) aggregation resolves the winner. The
 salt is applied ONLY to the shuffle — never to the merge key
 (SURVEY.md §7 "salting that preserves MERGE correctness").
 
@@ -59,5 +59,16 @@ def exact_dedup(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
     """Exact duplicate removal via hash-groupBy (maps to Spark's
     `dropDuplicates`, kept explicit for plan control). With ``cols``
     the first row per group by natural aggregation is NOT deterministic,
-    so callers wanting determinism should use :func:`lww_dedup`."""
-    return df.dropDuplicates(list(cols) if cols else None)
+    so callers wanting determinism should use :func:`lww_dedup`.
+
+    The default column set excludes MapType columns: maps are not
+    groupable in Spark, so an all-columns dropDuplicates over any
+    CHANGE_EVENT-shaped frame (payload map) would throw — on the
+    engine's own primary record type."""
+    if cols is None:
+        from pyspark.sql import types as T
+
+        cols = [
+            f.name for f in df.schema.fields if not isinstance(f.dataType, T.MapType)
+        ]
+    return df.dropDuplicates(list(cols))

@@ -91,19 +91,25 @@ def extract_media_metadata(df: DataFrame, decoder: str = "stub") -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, blob, mt in zip(pdf["doc_id"], pdf["blob"], pdf["media_type"]):
-                b = bytes(blob)
                 rec = {
-                    "doc_id": int(doc_id),
+                    "doc_id": None if doc_id is None else int(doc_id),
                     "media_type": mt,
-                    "byte_len": len(b),
-                    "sha": hashlib.sha256(b).hexdigest(),
+                    "byte_len": None,
+                    "sha": None,
                     "width": None,
                     "height": None,
                     "duration_ms": None,
                     "decode_ok": True,
                     "decode_error": None,
                 }
+                # EVERYTHING per-row inside the tolerance boundary: a null
+                # blob (deletes carry null content) made bytes(None) raise
+                # OUTSIDE the old try, killing the whole task instead of
+                # marking one row decode_ok=False
                 try:
+                    b = bytes(blob)
+                    rec["byte_len"] = len(b)
+                    rec["sha"] = hashlib.sha256(b).hexdigest()
                     rec.update(decode(b, mt))
                 except Exception as e:  # row-level tolerance, not batch-fatal
                     rec["decode_ok"] = False
@@ -119,8 +125,11 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     (doc_id, frame_ts_ms) tasks via sequence/explode — the decode of
     each frame is the stubbed kernel above. Demonstrates the fan-out
     shape without the codec."""
-    meta = extract_media_metadata(df)
-    vids = meta.filter((F.col("media_type") == "video") & F.col("decode_ok"))
+    # filter on the cheap column BEFORE the Python decode kernel: the
+    # corpus is mostly images/audio, and decoding rows only to discard
+    # them paid ~3x the necessary kernel cost
+    meta = extract_media_metadata(df.filter(F.col("media_type") == "video"))
+    vids = meta.filter(F.col("decode_ok"))
     return vids.select(
         "doc_id",
         F.explode(

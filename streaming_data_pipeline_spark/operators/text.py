@@ -29,18 +29,26 @@ STOPWORDS = ("the", "and", "of", "a", "to", "in", "data", "table")
 
 
 def tokens_col(text: Column) -> Column:
-    return F.split(F.trim(text), r"\s+")
+    """Whitespace tokens with EMPTY strings removed: split('') yields
+    [''], so an empty or whitespace-only document would otherwise count
+    one token — and then outscore real low-quality text in any filter
+    keyed on these stats (empty doc: n_tokens=0, quality_score=0)."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
 
 
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count + BPE-ish subword estimate (~4 chars/token,
     the published GPT-family rule of thumb) — both pure column exprs."""
     toks = tokens_col(F.col(text_col))
+    # numerator = sum of TOKEN lengths, not raw string length: separators
+    # and surrounding whitespace are not part of any token, and counting
+    # them overstated avg_token_len by the separator share
+    tok_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     return df.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.ceil(F.length(text_col) / F.lit(4.0)).cast("long").alias("n_bpe_est"),
-        F.round(F.length(text_col) / F.greatest(F.size(toks), F.lit(1)), 4).alias(
+        F.round(tok_chars / F.greatest(F.size(toks), F.lit(1)), 4).alias(
             "avg_token_len"
         ),
     )
@@ -52,7 +60,10 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = tokens_col(F.col(text_col))
     n = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
-    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    # stopwords match case-INsensitively ('The' is as much boilerplate
+    # as 'the'); distinctness stays case-sensitive (variable casing is
+    # real signal in code)
+    stop_hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))
     uniq_ratio = F.round(n_distinct / F.greatest(n, F.lit(1)), 4)
     stop_ratio = F.round(stop_hits / F.greatest(n, F.lit(1)), 4)
     return df.select(

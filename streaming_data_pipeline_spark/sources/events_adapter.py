@@ -83,14 +83,19 @@ CHANGES_FROM_EVENTS_SQL = """
                     WHEN 'purchase' THEN 'delete'
                     WHEN 'error' THEN 'invalid_op'
                     ELSE 'update' END AS op,
-    'org_' || (user_id % 10)::VARCHAR || '/repo_' || user_id::VARCHAR AS repo,
-    'src/mod_' || (event_id % 37)::VARCHAR || '.py' AS path,
-    substring(sha256(
-        'org_' || (user_id % 10)::VARCHAR || '/repo_' || user_id::VARCHAR
-        || '|' || 'src/mod_' || (event_id % 37)::VARCHAR || '.py'
-        || '|' || event_id::VARCHAR), 1, 12) AS commit,
+    -- ((x % n) + n) % n everywhere: DuckDB % keeps the dividend's sign
+    -- while Spark pmod is always non-negative — a negative id would
+    -- silently desynchronize the twins (and index a list out of range)
+    'org_' || (((user_id % 10) + 10) % 10)::VARCHAR || '/repo_' || user_id::VARCHAR AS repo,
+    'src/mod_' || (((event_id % 37) + 37) % 37)::VARCHAR || '.py' AS path,
+    -- concat_ws, not ||: Spark's commit_hash_col skips NULL components
+    -- (concat_ws semantics) while || would propagate NULL through sha256
+    substring(sha256(concat_ws('|',
+        'org_' || (((user_id % 10) + 10) % 10)::VARCHAR || '/repo_' || user_id::VARCHAR,
+        'src/mod_' || (((event_id % 37) + 37) % 37)::VARCHAR || '.py',
+        event_id::VARCHAR)), 1, 12) AS commit,
     CASE WHEN event_type = 'purchase' THEN NULL
-         ELSE ['python','java','go','rust'][(event_id % 4) + 1] END AS lang,
+         ELSE ['python','java','go','rust'][((event_id % 4) + 4) % 4 + 1] END AS lang,
     CASE WHEN event_type = 'purchase' THEN NULL
          ELSE 'cents=' || CAST(floor(value * 100 + 0.5) AS BIGINT)::VARCHAR
               || ';user=' || user_id::VARCHAR

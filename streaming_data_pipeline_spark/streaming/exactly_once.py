@@ -25,9 +25,12 @@ snapshot id → files written per bucket with row counts.
 from __future__ import annotations
 
 import json
+import logging
 import os
 
 from ..plans.lake import _atomic_write_json
+
+log = logging.getLogger(__name__)
 
 
 class EpochLog:
@@ -42,7 +45,17 @@ class EpochLog:
         return os.path.exists(self._path(epoch))
 
     def write(self, epoch: int, record: dict) -> None:
-        _atomic_write_json({"epoch": epoch, **record}, self._path(epoch))
+        """First-writer-wins, like every commit artifact (lake.py): a
+        zombie driver racing its replacement on the same epoch must not
+        OVERWRITE the winner's marker — live state converges either way
+        (applies are idempotent), but a last-writer-wins rename would
+        leave lineage pointing at only one of the two file sets. The
+        loser's marker is dropped; the surviving record stays internally
+        consistent."""
+        try:
+            _atomic_write_json({"epoch": epoch, **record}, self._path(epoch), exclusive=True)
+        except FileExistsError:
+            log.warning("epoch %s marker already committed by a concurrent writer", epoch)
 
     def read(self, epoch: int) -> dict:
         with open(self._path(epoch)) as f:

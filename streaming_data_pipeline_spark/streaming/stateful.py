@@ -58,7 +58,12 @@ def _update_repo_state(
         total += len(pdf)
         deletes += int((pdf["op"] == "delete").sum())
         if len(pdf):
-            max_lsn = max(max_lsn, int(pdf["lsn"].max()))
+            # skipna max is NaN when every lsn in the batch is null (a
+            # malformed-event group) — int(NaN) raised and killed the
+            # whole streaming query instead of skipping the statistic
+            m = pdf["lsn"].max()
+            if pd.notna(m):
+                max_lsn = max(max_lsn, int(m))
         if len(paths) < _PATH_CAP:
             # dedup BEFORE applying the cap: slicing the raw row list
             # would spend the budget on duplicate rows and drop distinct

@@ -311,3 +311,34 @@ def test_ann_lsh_sha_recall_floor(spark):
         ).collect()
     }
     assert len(exact & got) / len(exact) >= 0.9
+
+
+def test_empty_and_whitespace_docs_score_zero(spark):
+    """split('') yields [''] — without the empty-token filter an empty
+    document reported n_tokens=1 and outscored real low-quality text
+    (review r2 finding). Also pins sum-of-token-lengths avg (separators
+    are not token characters) and case-insensitive stopword hits."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, " a  b "), (4, "The cat and The dog")],
+        "doc_id long, text string",
+    )
+    ts = {r["doc_id"]: r for r in text.token_stats(df).collect()}
+    assert ts[1]["n_tokens"] == 0 and ts[2]["n_tokens"] == 0
+    assert ts[3]["n_tokens"] == 2 and ts[3]["avg_token_len"] == 1.0
+    qs = {r["doc_id"]: r for r in text.quality_scores(df).collect()}
+    assert qs[1]["quality_score"] == 0.0 and qs[2]["quality_score"] == 0.0
+    # 'The' (capitalized, 2x) + 'and' = 3 stopword hits of 5 tokens
+    assert qs[4]["stopword_ratio"] == 0.6
+
+
+def test_media_kernel_tolerates_null_blob(spark):
+    """A null blob (deletes carry null content) must mark ONE row
+    decode_ok=False, not kill the task (review r2 finding: bytes(None)
+    raised outside the tolerance boundary)."""
+    df = spark.createDataFrame(
+        [(1, b"\x89PNG\r\n\x1a\n" + b"x" * 64, "image"), (2, None, "image")],
+        "doc_id long, blob binary, media_type string",
+    )
+    out = {r["doc_id"]: r for r in multimodal.extract_media_metadata(df).collect()}
+    assert out[1]["decode_ok"] is True
+    assert out[2]["decode_ok"] is False and out[2]["sha"] is None
