@@ -911,7 +911,7 @@ def oracle_sql() -> dict[str, str]:
             m AS (SELECT doc_id,
                          len(toks) AS n,
                          len(list_distinct(toks)) AS nd,
-                         len(list_filter(toks, x -> x IN ('the','and','of','a','to','in','data','table'))) AS sh
+                         len(list_filter(toks, x -> lower(x) IN ('the','and','of','a','to','in','data','table'))) AS sh
                   FROM t)
             SELECT doc_id,
                    n::BIGINT AS n_tokens,
@@ -942,7 +942,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    len({_TOKS_NE})::BIGINT AS n_tokens,
                    ceil(length(text) / 4.0)::BIGINT AS n_bpe_est,
-                   round(list_sum(list_transform({_TOKS_NE}, x -> len(x))) * 1.0 / greatest(len({_TOKS_NE}), 1), 4) AS avg_token_len
+                   round(coalesce(list_sum(list_transform({_TOKS_NE}, x -> len(x))), 0) * 1.0 / greatest(len({_TOKS_NE}), 1), 4) AS avg_token_len
             FROM documents
         """,
         "doc_fingerprint": """

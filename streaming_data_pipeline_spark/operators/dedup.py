@@ -66,9 +66,16 @@ def exact_dedup(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
     CHANGE_EVENT-shaped frame (payload map) would throw — on the
     engine's own primary record type."""
     if cols is None:
-        from pyspark.sql import types as T
-
+        # maps are not groupable anywhere in a column's type tree
+        # (top-level, in structs, in arrays) — simpleString shows them all
         cols = [
-            f.name for f in df.schema.fields if not isinstance(f.dataType, T.MapType)
+            f.name for f in df.schema.fields if "map<" not in f.dataType.simpleString()
         ]
+        if not cols:
+            # dropDuplicates([]) would treat EVERY row as a duplicate and
+            # silently return one arbitrary row
+            raise ValueError(
+                "exact_dedup: every column contains a map type; pass cols "
+                "explicitly (e.g. key columns) or drop the map columns first"
+            )
     return df.dropDuplicates(list(cols))

@@ -92,7 +92,9 @@ def extract_media_metadata(df: DataFrame, decoder: str = "stub") -> DataFrame:
             rows = []
             for doc_id, blob, mt in zip(pdf["doc_id"], pdf["blob"], pdf["media_type"]):
                 rec = {
-                    "doc_id": None if doc_id is None else int(doc_id),
+                    # pd.isna, not `is None`: Arrow surfaces a null int64
+                    # as float NaN in pandas, and int(NaN) raises
+                    "doc_id": None if pd.isna(doc_id) else int(doc_id),
                     "media_type": mt,
                     "byte_len": None,
                     "sha": None,

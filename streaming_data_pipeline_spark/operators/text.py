@@ -32,8 +32,11 @@ def tokens_col(text: Column) -> Column:
     """Whitespace tokens with EMPTY strings removed: split('') yields
     [''], so an empty or whitespace-only document would otherwise count
     one token — and then outscore real low-quality text in any filter
-    keyed on these stats (empty doc: n_tokens=0, quality_score=0)."""
-    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+    keyed on these stats (empty doc: n_tokens=0, quality_score=0).
+    array_remove, NOT F.filter: higher-order functions run interpreted
+    outside whole-stage codegen (dedup_text.py measured the gap at 8×),
+    and this module's contract is codegen'd hot paths."""
+    return F.array_remove(F.split(F.trim(text), r"\s+"), "")
 
 
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -42,8 +45,9 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = tokens_col(F.col(text_col))
     # numerator = sum of TOKEN lengths, not raw string length: separators
     # and surrounding whitespace are not part of any token, and counting
-    # them overstated avg_token_len by the separator share
-    tok_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    # them overstated avg_token_len by the separator share. length∘join
+    # stays in codegen where an aggregate() lambda would not.
+    tok_chars = F.length(F.array_join(toks, ""))
     return df.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
@@ -62,8 +66,15 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_distinct = F.size(F.array_distinct(toks))
     # stopwords match case-INsensitively ('The' is as much boilerplate
     # as 'the'); distinctness stays case-sensitive (variable casing is
-    # real signal in code)
-    stop_hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))
+    # real signal in code). Multiset hit count without a HOF lambda:
+    # per stopword, size(toks) - size(array_remove(toks, w)) is its
+    # occurrence count — 8 codegen'd array ops beat one interpreted
+    # filter() on the hot path.
+    toks_lower = tokens_col(F.lower(F.col(text_col)))
+    stop_hits = None
+    for w in STOPWORDS:
+        h = F.size(toks_lower) - F.size(F.array_remove(toks_lower, w))
+        stop_hits = h if stop_hits is None else stop_hits + h
     uniq_ratio = F.round(n_distinct / F.greatest(n, F.lit(1)), 4)
     stop_ratio = F.round(stop_hits / F.greatest(n, F.lit(1)), 4)
     return df.select(

@@ -103,6 +103,9 @@ CHANGES_FROM_EVENTS_SQL = """
     event_id AS lsn,
     ts,
     json_extract_string(props, '$.k') AS k,
-    (event_id // 1000) AS epoch
+    -- floor division, not DuckDB's truncate-toward-zero //: Spark
+    -- floor(eid/1000) gives -2 for -1500 where // gives -1. Exact
+    -- integer form (no float): (x - pmod(x, n)) / n
+    ((event_id - (((event_id % 1000) + 1000) % 1000)) / 1000)::BIGINT AS epoch
   FROM events
 """

@@ -88,3 +88,39 @@ def test_every_query_has_callable_and_contract():
         "ann_lsh",
         "ann_ivf",
     }
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["text_quality", "token_stats", "lang_id",
+     "cdc_validate_split_valid", "cdc_lww_dedup", "transform_enrich"],
+)
+def test_oracle_parity_on_adversarial_inputs(spark, tmp_path, name):
+    """Twin parity beyond the driver fixture: empty/whitespace docs,
+    capitalized stopwords, negative ids, null user_id — each previously
+    desynchronized a twin (split('') token, case-sensitive oracle
+    stopwords, DuckDB %// sign semantics, null-propagating ||)."""
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "The cat and The dog of The house"),
+         (4, " a  b "), (5, "def f():\n    return 1\n")],
+        "doc_id long, text string",
+    ).write.parquet(f"{d}/documents.parquet")
+    spark.createDataFrame(
+        [(-1500, None, -5, "click", 1.25, '{"k":"v"}'),
+         (2100, None, 7, "signup", 2.0, "{}"),
+         (-3, None, None, "view", 0.5, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{d}/events.parquet")
+
+    con = duckdb.connect()
+    for t in ("documents", "events"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet/*.parquet')"
+        )
+    sdf = entrymod.queries()[name](spark, d).toPandas()
+    odf = con.sql(entrymod.oracle_sql()[name]).df()
+    assert len(sdf) == len(odf)
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert _canon(sdf) == _canon(odf)
