@@ -497,6 +497,20 @@ def q_ann_ivf(spark, sf_dir):  # Spark-only (hash-seeded coarse quantizer)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_ann_ivf_sha(spark, sf_dir):
+    """Fully-oracled IVF twin: sha-ranked centroid sampling lets DuckDB
+    reproduce the identical quantizer seeding, cell assignment, probe
+    set and re-ranked top-5. Same params as q_ann_ivf — with this, every
+    hash-based operator FAMILY (MinHash, SimHash, SRP-LSH, IVF) has a
+    fully oracle-checked variant."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = similarity.ivf_ann_topk(
+        emb, queries, k=5, n_cells=16, n_probe=10, hash_fn="sha"
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def q_windowed_change_rates(spark, sf_dir):
     """Event-time tumbling window over the derived change stream —
     exact distinct for oracle portability (approx_count_distinct is
@@ -588,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_lsh_sha": q_ann_lsh_sha,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_sha": q_ann_ivf_sha,
         "embedding_near_dup": q_embedding_near_dup,
         "windowed_change_rates": q_windowed_change_rates,
         "repo_sessions": q_repo_sessions,
@@ -1065,6 +1080,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
         """,
         "dedup_simhash_sha": _SIMHASH_SHA_SQL,
+        "ann_ivf_sha": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            -- sha-ranked sampling: identical order to the engine's
+            -- conv(substring(sha2(id || '|' || seed), 1, 15), 16, 10)
+            r AS (SELECT vec_id, v,
+                         ('0x' || substr(sha256(vec_id::VARCHAR || '|42'), 1, 15))::BIGINT AS h
+                  FROM e),
+            cents AS (
+              SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell, v AS cvec
+              FROM r ORDER BY h, vec_id LIMIT 16),
+            sims AS (
+              SELECT e.vec_id, c.cell, list_cosine_similarity(e.v, c.cvec) AS sim
+              FROM e, cents c),
+            -- max by (sim, cell): mirrors element_at(reverse(array_sort), 1)
+            assign AS (
+              SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+                FROM sims) WHERE rn = 1),
+            probe AS (
+              SELECT vec_id AS query_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+                FROM sims WHERE vec_id < 5) WHERE rn <= 10),
+            cand AS (
+              SELECT a.vec_id AS neighbor_id, p.query_id
+              FROM assign a JOIN probe p USING (cell)
+              WHERE a.vec_id <> p.query_id),
+            scored AS (
+              SELECT cand.query_id, cand.neighbor_id,
+                     round(list_cosine_similarity(cv.v, qv.v), 5) AS cosine
+              FROM cand JOIN e cv ON cv.vec_id = cand.neighbor_id
+                        JOIN e qv ON qv.vec_id = cand.query_id),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+            SELECT query_id, neighbor_id, rank::BIGINT AS rank, cosine
+            FROM ranked WHERE rank <= 5
+        """,
         "ann_lsh_sha": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             -- sha-derived Rademacher hyperplanes: identical matrix to the

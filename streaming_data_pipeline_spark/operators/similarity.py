@@ -152,6 +152,7 @@ def ivf_ann_topk(
     id_col: str = "vec_id",
     seed: int = 42,
     refine_iters: int = 0,
+    hash_fn: str = "xxhash",
 ) -> DataFrame:
     """IVF-style ANN: a deterministic coarse quantizer (centroids =
     hash-sampled corpus vectors, the 'random restarts' seeding step of
@@ -172,8 +173,22 @@ def ivf_ann_topk(
     cu = with_unit_vectors(corpus, vec_col)
     qu = with_unit_vectors(queries, vec_col)
 
+    if hash_fn == "sha":
+        # sha-ranked sampling: the same centroid selection is one line of
+        # SQL ('0x'||substr(sha256(id||'|'||seed),1,15))::BIGINT — making
+        # the whole IVF pipeline (seeding, assignment, probes, re-rank)
+        # oracle-checkable, like the minhash/simhash/SRP sha twins
+        rank = F.conv(
+            F.substring(
+                F.sha2(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(str(seed))), 256),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long")
+    else:
+        rank = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(997))
     cents = (
-        cu.withColumn("_h", F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(997)))
+        cu.withColumn("_h", rank)
         .orderBy("_h", id_col)
         .limit(n_cells)
         .select(F.col("_unit").alias("cvec"))

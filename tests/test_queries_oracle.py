@@ -34,6 +34,7 @@ FAST_QUERIES = [
     "ann_cosine_topk",
     "ann_lsh_sha",       # sha-plane SRP: full LSH pipeline oracled (r2)
     "dedup_simhash_sha", # sha-token SimHash: bit-vote + chunks oracled (r2)
+    "ann_ivf_sha",       # sha-seeded IVF: quantizer + probes oracled (r2)
 ]
 
 

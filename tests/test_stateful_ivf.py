@@ -129,3 +129,19 @@ def test_ivf_lloyd_refinement(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
     refined = {(r["query_id"], r["neighbor_id"]) for r in a}
     assert len(exact & refined) / len(exact) >= 0.6
+
+
+def test_ivf_sha_all_probe_equals_exact(spark):
+    """The sha-seeded twin (ann_ivf_sha contract query) keeps IVF's
+    defining property: probing every cell reproduces exact top-k —
+    sha-ranked seeding changes WHICH vectors become centroids, never
+    the candidate completeness."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    full = similarity.ivf_ann_topk(
+        emb, q, k=5, n_cells=16, n_probe=16, hash_fn="sha"
+    ).collect()
+    exact = similarity.cosine_topk(emb, q, k=5).collect()
+    assert {(r["query_id"], r["rank"], r["neighbor_id"]) for r in full} == {
+        (r["query_id"], r["rank"], r["neighbor_id"]) for r in exact
+    }
