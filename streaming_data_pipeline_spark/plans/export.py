@@ -27,12 +27,48 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import types as T
+
 from ..operators.curation import (
     benchmark_contamination,
     hash_stratified_sample,
     repetition_score,
 )
 from .lake import SnapshotTable, _atomic_write_json
+
+# the shard's on-disk schema (lang is the partition column). Refresh
+# reads the prior shard with this schema EXPLICITLY so a legitimately
+# empty shard (zero sampled rows, or a refresh that removed every lang
+# partition) doesn't fail schema inference and strand the shard.
+SHARD_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("_sha", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+def sha_col(text):
+    """Content sha with a NULL→'' sentinel: sha2(null) is null, and SQL
+    equi-joins never match NULL=NULL — a live null-content doc (possible
+    via a DLQ-replay fixer) would silently fall out of the export's
+    keeper join and desynchronize refresh from export. The sentinel
+    keeps every _sha join/group a plain equi operation; '' collides with
+    no real sha (sha2 output is 64 hex chars)."""
+    return F.coalesce(F.sha2(text, 256), F.lit(""))
+
+
+def shard_file_group(file_groups: int):
+    """Deterministic file-group id within a lang stratum. Export and
+    refresh both repartition shard writes on (lang, group) so a dominant
+    lang (80% of a 100 TB corpus) fans out over ``file_groups`` writer
+    tasks instead of funneling through one — while keeping the layout
+    deterministic: group membership is a pure hash of the key, and rows
+    are sorted within each file."""
+    return F.pmod(F.xxhash64("repo", "path"), F.lit(file_groups))
 
 
 def export_training_mix(
@@ -47,6 +83,7 @@ def export_training_mix(
     max_repetition: float = 0.9,
     n: int = 3,
     version: int | None = None,
+    file_groups: int = 8,
 ) -> dict:
     """Export a curated training shard from snapshot ``version`` (default
     current). Returns the manifest dict (also written to
@@ -93,7 +130,7 @@ def export_training_mix(
 
         # 1. exact content dedup: canonical keeper = lexicographically least
         # (repo, path) per content hash — deterministic, one shuffle
-        keyed = docs.withColumn("_sha", F.sha2(F.col("text"), 256))
+        keyed = docs.withColumn("_sha", sha_col(F.col("text")))
         keepers = keyed.groupBy("_sha").agg(
             F.min(F.struct("repo", "path")).alias("_keep")
         )
@@ -143,9 +180,16 @@ def export_training_mix(
         )
         counts["sampled"] = sampled.count()
 
+        # G-way deterministic file groups per stratum: repartition on
+        # (lang, hash-group) instead of lang alone — hash-by-lang put
+        # each stratum in ONE shuffle partition, so a dominant lang
+        # funneled through a single writer task at scale. Group
+        # membership is a pure key hash and files are key-sorted, so the
+        # layout stays deterministic; file_groups is recorded in the
+        # manifest so refresh stages rewrites with the same fan-out.
         (
             sampled.select("repo", "path", "lang", "text", "_sha")
-            .repartition(F.col("lang"))
+            .repartition(file_groups, F.col("lang"), shard_file_group(file_groups))
             .sortWithinPartitions("lang", "repo", "path")
             .write.mode("overwrite")
             .partitionBy("lang")
@@ -172,6 +216,7 @@ def export_training_mix(
             "max_repetition": max_repetition,
             "n": n,
             "benchmark_used": benchmark is not None,
+            "file_groups": file_groups,
             "counts": counts,
         }
         _atomic_write_json(manifest, os.path.join(out_dir, "_manifest.json"))

@@ -32,14 +32,72 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..operators.curation import (
     benchmark_contamination,
     hash_stratified_sample,
     repetition_score,
 )
-from .export import write_index
+from .export import SHARD_SCHEMA, sha_col, shard_file_group, write_index
 from .lake import SnapshotTable, _atomic_write_json
+
+# Verbatim port of Spark's ExternalCatalogUtils.escapePathName character
+# set (the Hive partition-path convention partitionBy writes under).
+# Refresh builds tmp/old/dest partition dir names by hand, and they MUST
+# match what a full export's partitionBy would produce — a producer-
+# supplied lang like 'f#' or 'a/b' written raw would otherwise create a
+# second, distinct live partition next to the export's escaped one and
+# break the refresh-equals-export contract.
+_CHARS_TO_ESCAPE = set(
+    [chr(c) for c in range(0x01, 0x20)]
+    + ['"', "#", "%", "'", "*", "/", ":", "=", "?", "\\", "\x7f", "{", "[", "]", "^"]
+)
+_HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _escape_partition_value(value: str | None) -> str:
+    """Partition value → path segment, exactly as Spark's
+    getPartitionPathString: null/empty becomes the Hive default
+    partition name, every special char becomes %XX (uppercase hex).
+    Parity is pinned against an actual partitionBy write in
+    tests/test_refresh.py."""
+    if value is None or value == "":
+        return _HIVE_DEFAULT_PARTITION
+    return "".join(
+        f"%{ord(c):02X}" if c in _CHARS_TO_ESCAPE else c for c in value
+    )
+
+
+INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("_sha", T.StringType()),
+        T.StructField("is_keeper", T.BooleanType()),
+        T.StructField("passed_decontam", T.BooleanType()),
+        T.StructField("passed_repetition", T.BooleanType()),
+        T.StructField("sampled", T.BooleanType()),
+    ]
+)
+
+
+def _read_shard(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Prior-shard read with the EXPLICIT shard schema: an empty shard
+    dir (zero sampled rows at export, or a prior refresh that removed
+    every lang partition) has no parquet files to infer from, and an
+    inference failure would strand the shard unrefreshable forever."""
+    data = os.path.join(out_dir, "data")
+    has_parquet = any(
+        fn.endswith(".parquet")
+        for _, _, fns in os.walk(data)
+        for fn in fns
+    )
+    if not has_parquet:
+        return spark.createDataFrame([], SHARD_SCHEMA)
+    return spark.read.schema(SHARD_SCHEMA).parquet(data)
 
 
 def _doc_flags(
@@ -207,7 +265,7 @@ def refresh_training_mix(
     max_r = man["max_repetition"]
     n = man.get("n", 3)
 
-    idx0 = spark.read.parquet(os.path.join(out_dir, "_index"))
+    idx0 = spark.read.schema(INDEX_SCHEMA).parquet(os.path.join(out_dir, "_index"))
 
     def _persist(frame: DataFrame) -> DataFrame:
         """Materialize AND truncate lineage (eager localCheckpoint, disk-
@@ -237,7 +295,7 @@ def refresh_training_mix(
             "lang",
             F.col("content").alias("text"),
         )
-        .withColumn("_sha", F.sha2(F.col("text"), 256))
+        .withColumn("_sha", sha_col(F.col("text")))
     )
 
     # 3. updated id-level universe + the sha groups whose keeper can move
@@ -283,7 +341,7 @@ def refresh_training_mix(
             "lang",
             F.col("content").alias("text"),
         )
-        .withColumn("_sha", F.sha2(F.col("text"), 256))
+        .withColumn("_sha", sha_col(F.col("text")))
     )
     changed_keepers = docs_new.join(
         new_keepers.select("doc_id"), "doc_id", "left_semi"
@@ -305,7 +363,7 @@ def refresh_training_mix(
     # 5. shard delta: every prior row of an affected sha group (or a
     #    changed key) goes; every sampled keeper of an affected group
     #    comes back with its current text
-    shard0 = spark.read.parquet(os.path.join(out_dir, "data"))
+    shard0 = _read_shard(spark, out_dir)
     shard0 = shard0.withColumn("doc_id", F.xxhash64("repo", "path"))
     # sha-based removal is complete on its own: a changed doc present in
     # the shard was live at v0, so its shard sha is in aff_shas already.
@@ -328,35 +386,52 @@ def refresh_training_mix(
     additions = _persist(add_text.unionByName(add_carry))
 
     langs = {
-        r[0]
+        # partitionBy lands BOTH null and '' in __HIVE_DEFAULT_PARTITION__
+        # (and reads them back as null) — treat them as one stratum here
+        # or two staging writes would race for the same tmp dir
+        (None if r[0] in (None, "") else r[0])
         for r in removals.join(shard0.select("doc_id", "lang"), "doc_id")
         .select("lang")
         .unionByName(additions.select("lang"))
         .distinct()
         .collect()
     }
+    langs_sorted = sorted(langs, key=lambda v: (v is None, v))
+
+    def _lang_pred(lang):
+        if lang is None:
+            return F.col("lang").isNull() | (F.col("lang") == "")
+        return F.col("lang") == F.lit(lang)
+
+    file_groups = int(man.get("file_groups", 1))
     # STAGE every rewritten partition first, swap NOTHING yet: a
     # persisted frame is not a durability barrier — under memory
     # pressure an evicted partition lazily re-reads its source files,
     # and a source partition already swapped mid-loop would feed the
     # recompute corrupt (new) data. All Spark reads of the old shard
     # and old index happen before the first destructive file op.
-    for lang in sorted(langs):
+    for lang in langs_sorted:
         part = (
-            shard0.filter(F.col("lang") == lang)
+            shard0.filter(_lang_pred(lang))
             .join(removals, "doc_id", "left_anti")
             .select("repo", "path", "text", "_sha")
             .unionByName(
-                additions.filter(F.col("lang") == lang).select(
+                additions.filter(_lang_pred(lang)).select(
                     "repo", "path", "text", "_sha"
                 )
             )
         )
+        # same deterministic G-way fan-out as the export's shard write:
+        # one stratum no longer funnels through a single writer task
         (
-            part.repartition(1)
+            part.repartition(file_groups, shard_file_group(file_groups))
             .sortWithinPartitions("repo", "path")
             .write.mode("overwrite")
-            .parquet(os.path.join(out_dir, "data", f"_tmp_lang={lang}"))
+            .parquet(
+                os.path.join(
+                    out_dir, "data", f"_tmp_lang={_escape_partition_value(lang)}"
+                )
+            )
         )
 
     # new index + manifest (counts from id-level aggregates)
@@ -392,8 +467,10 @@ def refresh_training_mix(
         .parquet(os.path.join(out_dir, "_index_new"))
     )
     # aggregate from the DURABLY WRITTEN new index — never from a
-    # cached frame whose lineage reaches the about-to-be-swapped dirs
-    agg = spark.read.parquet(os.path.join(out_dir, "_index_new")).agg(
+    # cached frame whose lineage reaches the about-to-be-swapped dirs.
+    # Explicit schema: an all-deleted lake writes an index with no
+    # parquet files, which would fail inference.
+    agg = spark.read.schema(INDEX_SCHEMA).parquet(os.path.join(out_dir, "_index_new")).agg(
         F.count(F.lit(1)).alias("state_rows"),
         F.sum(F.col("is_keeper").cast("long")).alias("keepers"),
         F.sum(F.coalesce(F.col("passed_decontam"), F.lit(False)).cast("long")).alias("pc"),
@@ -427,10 +504,11 @@ def refresh_training_mix(
         os.rename(tmp, dest)
         shutil.rmtree(old, ignore_errors=True)
 
-    for lang in sorted(langs):
+    for lang in langs_sorted:
         data = os.path.join(out_dir, "data")
-        tmp = os.path.join(data, f"_tmp_lang={lang}")
-        dest = os.path.join(data, f"lang={lang}")
+        seg = _escape_partition_value(lang)
+        tmp = os.path.join(data, f"_tmp_lang={seg}")
+        dest = os.path.join(data, f"lang={seg}")
         if _parquet_rows(tmp) == 0:
             # a fully-emptied partition is REMOVED, matching a full
             # export (partitionBy writes no dir for an empty stratum) —
@@ -441,7 +519,7 @@ def refresh_training_mix(
             shutil.rmtree(tmp)
             shutil.rmtree(dest, ignore_errors=True)
         else:
-            _swap_in(tmp, dest, os.path.join(data, f"_old_lang={lang}"))
+            _swap_in(tmp, dest, os.path.join(data, f"_old_lang={seg}"))
     _swap_in(
         os.path.join(out_dir, "_index_new"),
         os.path.join(out_dir, "_index"),

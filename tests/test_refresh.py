@@ -149,6 +149,151 @@ def test_refresh_refuses_feed_invisible_history(spark, tmp_path):
         refresh_training_mix(spark, table2, out2, version=0)
 
 
+def test_partition_escape_matches_spark(spark, tmp_path):
+    """_escape_partition_value must produce EXACTLY the dir segment
+    partitionBy writes — pinned against a real Spark write, not against
+    a re-implementation's opinion."""
+    import os
+
+    from streaming_data_pipeline_spark.plans.refresh import (
+        _escape_partition_value,
+    )
+
+    vals = ["plain", "f#", "a/b", "pct%20", "sp ace", "eq=x", "q?", "co:lon",
+            "back\\slash", "st*ar", "bra[ck]et", "ca^ret", "cu{rly", None, ""]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, lang string"
+    )
+    out = str(tmp_path / "esc")
+    df.write.partitionBy("lang").parquet(out)
+    spark_dirs = {d for d in os.listdir(out) if d.startswith("lang=")}
+    ours = {f"lang={_escape_partition_value(v)}" for v in vals}
+    assert ours == spark_dirs
+
+
+def test_refresh_with_adversarial_lang_values(spark, tmp_path):
+    """Producer-supplied langs containing '/', '#', '%', '=', space and
+    null must land refresh and full export on identical partitions —
+    the ADVICE r2 path-escaping hazard."""
+    table = SnapshotTable.create(str(tmp_path / "lake"), LAKE_BASE, n_buckets=8)
+    weird = ["f#", "a/b", "pct%23", "sp ace", "eq=x", None]
+    rows = []
+    for i in range(24):
+        lang = weird[i % len(weird)]
+        rows.append(_ev("insert", f"w{i}.py", i + 1, f"content {i}\n", lang))
+    apply_changes(spark, table, _batch(spark, rows), 0)
+
+    out = str(tmp_path / "shard")
+    rates = {w: 100 for w in weird if w is not None}
+    export_training_mix(spark, table, out, rates=rates, default_rate=100)
+
+    # delta touches every weird lang: update one doc of each
+    rows = [
+        _ev("update", f"w{i}.py", 100 + i, f"new content {i}\n", weird[i % len(weird)])
+        for i in range(len(weird))
+    ]
+    rows.append(_ev("delete", "w6.py", 200, None))
+    apply_changes(spark, table, _batch(spark, rows), 1)
+
+    refresh_training_mix(spark, table, out)
+    outB = str(tmp_path / "full")
+    export_training_mix(spark, table, outB, rates=rates, default_rate=100)
+    assert _shard_rows(spark, out) == _shard_rows(spark, outB)
+    assert _index_rows(spark, out) == _index_rows(spark, outB)
+    # and the LIVE partition dirs are identical — no raw/escaped twins
+    import os
+
+    da = {d for d in os.listdir(f"{out}/data") if d.startswith("lang=")}
+    db = {d for d in os.listdir(f"{outB}/data") if d.startswith("lang=")}
+    assert da == db
+
+
+def test_refresh_with_null_content_doc(spark, tmp_path):
+    """A live null-content row (reachable via a DLQ-replay fixer path —
+    append_delta does not re-validate) must flow through export AND
+    refresh identically: sha_col's sentinel keeps the _sha equi-joins
+    from dropping it (SQL NULL never equi-matches)."""
+    from streaming_data_pipeline_spark.operators.merge import append_delta
+
+    table = _seed(spark, tmp_path)
+    append_delta(
+        spark, table,
+        _batch(spark, [("insert", "r", "nullc.py", "cx", "python", None, 999, None, None)]),
+        epoch=90,
+    )
+    out = str(tmp_path / "shard")
+    export_training_mix(spark, table, out, rates=RATES, default_rate=100)
+    # the null-content doc is a keeper of its (singleton) sha group
+    idx = {r["path"]: r for r in spark.read.parquet(f"{out}/_index").collect()}
+    assert idx["nullc.py"]["is_keeper"] and idx["nullc.py"]["_sha"] == ""
+
+    _mutate(spark, table)
+    # a SECOND null-content doc joins the sentinel sha group ('a_null' <
+    # 'nullc' steals the keeper role — exercises group logic on the
+    # sentinel, not just carriage)
+    append_delta(
+        spark, table,
+        _batch(spark, [("insert", "r", "a_null.py", "cy", "python", None, 1000, None, None)]),
+        epoch=91,
+    )
+    refresh_training_mix(spark, table, out)
+    outB = str(tmp_path / "full")
+    export_training_mix(spark, table, outB, rates=RATES, default_rate=100)
+    assert _shard_rows(spark, out) == _shard_rows(spark, outB)
+    assert _index_rows(spark, out) == _index_rows(spark, outB)
+
+
+def test_empty_shard_refreshes_forward(spark, tmp_path):
+    """A shard emptied by deletes (no parquet under data/) must remain
+    refreshable: new inserts at a later snapshot repopulate it, equal to
+    a full re-export (ADVICE r2: empty-dir schema inference)."""
+    table = _seed(spark, tmp_path)
+    out = str(tmp_path / "s")
+    export_training_mix(spark, table, out, rates=RATES, default_rate=100)
+    rows = [_ev("delete", f"f{i}.py", 400 + i, None) for i in range(40)]
+    rows.append(_ev("delete", "loop.py", 600, None))
+    apply_changes(spark, table, _batch(spark, rows), 1)
+    man = refresh_training_mix(spark, table, out)
+    assert man["counts"]["sampled"] == 0
+
+    # forward again from the empty shard
+    rows = [
+        _ev("insert", f"g{i}.py", 700 + i, f"def g_{i}():\n    return {i}\n")
+        for i in range(6)
+    ]
+    apply_changes(spark, table, _batch(spark, rows), 2)
+    refresh_training_mix(spark, table, out)
+    outB = str(tmp_path / "full")
+    export_training_mix(spark, table, outB, rates=RATES, default_rate=100)
+    assert _shard_rows(spark, out) == _shard_rows(spark, outB)
+    assert _index_rows(spark, out) == _index_rows(spark, outB)
+
+
+def test_shard_write_fans_out_per_stratum(spark, tmp_path):
+    """The VERDICT r2 scale item: a dominant lang must not funnel
+    through one writer task. With file_groups=G, a populated stratum
+    carries >1 part file (G-way deterministic groups), and a refresh
+    rewrite of that stratum keeps the fan-out."""
+    import os
+
+    table = _seed(spark, tmp_path)
+    out = str(tmp_path / "s")
+    export_training_mix(spark, table, out, rates=RATES, default_rate=100, file_groups=4)
+
+    def nfiles(d):
+        return len([f for f in os.listdir(d) if f.endswith(".parquet")])
+
+    # 14 python docs over 4 hash groups: >1 file whp (pinned: deterministic)
+    assert nfiles(f"{out}/data/lang=python") > 1
+
+    _mutate(spark, table)
+    refresh_training_mix(spark, table, out)
+    assert nfiles(f"{out}/data/lang=python") > 1
+    outB = str(tmp_path / "full")
+    export_training_mix(spark, table, outB, rates=RATES, default_rate=100, file_groups=4)
+    assert _shard_rows(spark, out) == _shard_rows(spark, outB)
+
+
 def test_refresh_recovers_from_torn_swap(spark, tmp_path):
     """A crash between the swap renames leaves an _old_lang dir; the next
     refresh restores it before computing, so no untouched rows are
