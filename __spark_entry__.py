@@ -136,6 +136,37 @@ def q_cdc_final_state(spark, sf_dir):
     return state.localCheckpoint(eager=True)
 
 
+def q_post_compaction_state(spark, sf_dir):
+    """Maintenance invariant as a graded contract row: apply the change
+    stream in MULTIPLE merge-on-read epochs (each leaves delta files),
+    compact every bucket to one base file, and read back the live view.
+    The oracle is IDENTICAL to cdc_final_state's — compaction must be
+    invisible to readers."""
+    import atexit
+
+    from streaming_data_pipeline_spark.plans.maintenance import compact
+
+    changes = changes_from_events(_t(spark, sf_dir, "events"))
+    tmp = tempfile.mkdtemp(prefix="sdp_lake_pc_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    table = SnapshotTable.create(f"{tmp}/lake", LAKE_BASE, n_buckets=16)
+    # three interleaved epoch groups — LWW is order-independent, so any
+    # grouping must converge; each group appends its own delta files
+    for g in range(3):
+        batch = changes.filter(F.pmod(F.col("epoch"), F.lit(3)) == g).drop("epoch")
+        apply_changes(spark, table, batch, epoch=g, mode="mor")
+    compact(spark, table, max_files_per_bucket=1)
+    state = table.current_state(spark).select(
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        F.sha2(F.col("content"), 256).alias("content_sha"),
+        "lsn",
+    )
+    return state.localCheckpoint(eager=True)
+
+
 def q_cdc_epoch_metrics(spark, sf_dir):
     changes = changes_from_events(_t(spark, sf_dir, "events"))
     valid_pred = (
@@ -452,6 +483,15 @@ def q_multimodal_decode(spark, sf_dir):
     return multimodal.extract_media_metadata(docs)
 
 
+def q_frame_sample(spark, sf_dir):
+    """Frame-sampling fan-out (video → one row per sampled frame ts).
+    The stub decode is deterministic arithmetic over UTF-8 byte length,
+    so DuckDB replicates the whole pipeline — media-type routing, the
+    cheap-column pre-filter, decode, sequence/explode — end to end."""
+    docs = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return multimodal.frame_sample_plan(docs, every_ms=1000)
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
@@ -570,6 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dlq_error_statistics": q_dlq_error_statistics,
         "cdc_lww_dedup": q_cdc_lww_dedup,
         "cdc_final_state": q_cdc_final_state,
+        "post_compaction_state": q_post_compaction_state,
         "cdc_epoch_metrics": q_cdc_epoch_metrics,
         "cdc_health": q_cdc_health,
         "transform_enrich": q_transform_enrich,
@@ -598,6 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "multimodal_binary_stats": q_multimodal_binary_stats,
         "multimodal_decode": q_multimodal_decode,
+        "frame_sample": q_frame_sample,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh": q_ann_lsh,
         "ann_lsh_sha": q_ann_lsh_sha,
@@ -723,6 +765,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT op, repo, path, commit, lang, content, lsn FROM lww WHERE rn = 1
         """,
         "cdc_final_state": f"""
+            {_LWW_CTE}
+            SELECT repo, path, commit, lang, sha256(content) AS content_sha, lsn
+            FROM lww WHERE rn = 1 AND op <> 'delete'
+        """,
+        # deliberately IDENTICAL to cdc_final_state's oracle: the Spark
+        # side applies in three MOR epochs then compacts, and compaction
+        # must be invisible to the live view
+        "post_compaction_state": f"""
             {_LWW_CTE}
             SELECT repo, path, commit, lang, sha256(content) AS content_sha, lsn
             FROM lww WHERE rn = 1 AND op <> 'delete'
@@ -1035,6 +1085,22 @@ def oracle_sql() -> dict[str, str]:
                    true AS decode_ok,
                    CAST(NULL AS VARCHAR) AS decode_error
             FROM documents
+        """,
+        # videos are doc_id % 3 = 2 (attach_binary_payload's routing);
+        # the stub duration is pure arithmetic over UTF-8 byte length,
+        # and generate_series mirrors F.sequence (both step-inclusive)
+        "frame_sample": """
+            WITH vids AS (
+              SELECT doc_id,
+                     1000 + octet_length(encode(text)) % 60000 AS duration_ms
+              FROM documents
+              WHERE doc_id % 3 = 2 AND text IS NOT NULL),
+            -- scalar-list generate_series + unnest: DuckDB 1.0 rejects
+            -- column params in the lateral table-function form
+            fr AS (
+              SELECT doc_id, unnest(generate_series(0, duration_ms, 1000)) AS f
+              FROM vids)
+            SELECT doc_id, f::BIGINT AS frame_ts_ms FROM fr
         """,
         "windowed_change_rates": f"""
             {_CHANGES_CTE}

@@ -96,9 +96,17 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = tokens_col(F.lower(F.col(text_col)))
 
     def _hits(markers: tuple[str, ...]):
-        # single-param lambda: a 2-param lambda would receive the element
-        # INDEX as its second argument from F.filter
-        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        # multiset marker count WITHOUT a higher-order function: per
+        # marker, size(toks) - size(array_remove(toks, m)) is its
+        # occurrence count, and markers are distinct so the sum equals
+        # the old filter(isin) count. HOF lambdas run interpreted
+        # outside whole-stage codegen — this keeps lang_id on the same
+        # codegen'd idiom as the stopword counter above.
+        total = None
+        for m in markers:
+            h = F.size(toks) - F.size(F.array_remove(toks, m))
+            total = h if total is None else total + h
+        return total
 
     hit_cols = {lang: _hits(markers) for lang, markers in LANG_MARKERS.items()}
     # argmax via greatest + chained when (deterministic tie-break: first

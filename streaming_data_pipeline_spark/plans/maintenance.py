@@ -99,19 +99,35 @@ def purge_tombstones(spark: SparkSession, table: SnapshotTable, lsn_horizon: int
 
 
 def remove_orphan_files(table: SnapshotTable) -> list[str]:
-    """Delete data files referenced by NO manifest (Iceberg
+    """Delete data files referenced by NO committed manifest (Iceberg
     `remove_orphan_files` analog): crashed or commit-losing writers
     leave fully-written staging dirs behind — their files were never
     published, so they are garbage the moment the writer is gone. Run
     only when no writer is mid-commit (on a real deployment, gate by
-    file age the way Iceberg defaults to >3 days)."""
+    file age the way Iceberg defaults to >3 days).
+
+    "Committed" means the manifest is NAMED by some v{N}.json snapshot
+    entry. A writer that loses the v{N}.json race still wrote its
+    fallback manifest-{N}-{k}.json — treating any manifest-*.json as
+    live would pin the loser's staged files forever, defeating the
+    whole point. Orphan manifests are deleted along with their files."""
     import json as _json
 
+    committed: set[str] = set()
+    for fn in os.listdir(table.meta_dir):
+        if fn.startswith("v") and fn.endswith(".json") and fn[1:-5].isdigit():
+            with open(os.path.join(table.meta_dir, fn)) as f:
+                meta = _json.load(f)
+            committed |= {s["manifest"] for s in meta.get("snapshots", {}).values()}
     referenced: set[str] = set()
+    orphan_manifests: list[str] = []
     for fn in os.listdir(table.meta_dir):
         if fn.startswith("manifest-") and fn.endswith(".json"):
-            with open(os.path.join(table.meta_dir, fn)) as f:
-                referenced |= {e["path"] for e in _json.load(f)["files"]}
+            if fn in committed:
+                with open(os.path.join(table.meta_dir, fn)) as f:
+                    referenced |= {e["path"] for e in _json.load(f)["files"]}
+            else:
+                orphan_manifests.append(fn)
     deleted: list[str] = []
     for dirpath, _dirs, files in os.walk(table.data_dir, topdown=False):
         for fn in files:
@@ -129,6 +145,11 @@ def remove_orphan_files(table: SnapshotTable) -> list[str]:
                     os.unlink(p)
         if not os.listdir(dirpath):
             os.rmdir(dirpath)
+    # the loser's fallback manifest itself is garbage too — with its
+    # staged files gone it would otherwise sit as a dangling reference
+    for fn in orphan_manifests:
+        os.unlink(os.path.join(table.meta_dir, fn))
+        deleted.append(os.path.relpath(os.path.join(table.meta_dir, fn), table.root))
     return sorted(deleted)
 
 

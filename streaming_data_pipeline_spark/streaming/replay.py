@@ -54,6 +54,34 @@ def _replay_dir(table_root: str) -> str:
     return os.path.join(table_root, "dlq_replays")
 
 
+def _claim_source_epochs(
+    table_root: str, replay_epoch: int, src_epochs: list[int]
+) -> list[int]:
+    """Per-source-epoch claim markers, written BEFORE applying: the
+    replay-level marker alone only guards same-id replays — two
+    concurrent replay_dlq runs with DIFFERENT ids could both pass the
+    replayed_source_epochs() read and double-consume the same DLQ
+    epochs (read-then-act race). Claims are exclusive os.link creates,
+    so exactly one replay wins each epoch. A claim carrying OUR id
+    whose replay marker never landed is a crashed earlier attempt of
+    this same replay — re-claimed, so the retry path stays idempotent
+    rather than stranding the epoch."""
+    claims = os.path.join(_replay_dir(table_root), "claims")
+    ours: list[int] = []
+    done_marker = os.path.join(_replay_dir(table_root), f"replay-{replay_epoch}.json")
+    for e in src_epochs:
+        dest = os.path.join(claims, f"epoch-{e}.json")
+        try:
+            _atomic_write_json({"replay_epoch": replay_epoch}, dest, exclusive=True)
+            ours.append(e)
+        except FileExistsError:
+            with open(dest) as f:
+                owner = json.load(f).get("replay_epoch")
+            if owner == replay_epoch and not os.path.exists(done_marker):
+                ours.append(e)  # our own crashed attempt; resume it
+    return ours
+
+
 def replayed_source_epochs(table_root: str) -> set[int]:
     """Source epochs already consumed by a previous replay run."""
     d = _replay_dir(table_root)
@@ -99,8 +127,12 @@ def replay_dlq(
     todo = retryable_dead_letters(spark, table.root)
     # bounded collect: one row per DLQ epoch (epoch count, not data size)
     src_epochs = sorted(r[0] for r in todo.select("epoch").distinct().collect())
+    # claim BEFORE applying (see _claim_source_epochs): a concurrent
+    # replay under another id keeps only the epochs it won
+    src_epochs = _claim_source_epochs(table.root, epoch, src_epochs)
     if not src_epochs:
         return {"replayed_rows": 0, "source_epochs": [], "version": None}
+    todo = todo.filter(F.col("epoch").isin(*src_epochs))
 
     events = todo.select(
         F.from_json(F.col("original_event"), CHANGE_EVENT, JSON_OPTS).alias("e")

@@ -107,6 +107,40 @@ def test_replay_loop_prevention(spark, tmp_path):
     assert replay_dlq(spark, table, epoch=2)["source_epochs"] == []
 
 
+def test_concurrent_replays_cannot_double_consume(spark, tmp_path):
+    """ADVICE r2: two replays with DIFFERENT ids racing past the
+    read-then-act window must not both consume the same source epochs.
+    The per-epoch claim markers are written before applying, so a
+    second replay arriving after the first's claims (but before or
+    after its replay marker) wins nothing."""
+    from streaming_data_pipeline_spark.streaming.replay import (
+        _claim_source_epochs,
+        REPLAY_EPOCH_BASE,
+    )
+
+    events = _events(spark)
+    failed = events.filter(F.col("lsn") % 7 == 0)
+    table = SnapshotTable.create(str(tmp_path / "t"), LAKE_BASE, n_buckets=8)
+    _simulate_transient_outage(spark, table.root, failed, epoch=0)
+
+    # replay #2 arrives mid-window: epoch 0 is already CLAIMED by
+    # replay #1 (which hasn't written its replay marker yet — the exact
+    # race the replay-level marker cannot see)
+    claimed = _claim_source_epochs(table.root, REPLAY_EPOCH_BASE + 1, [0])
+    assert claimed == [0]
+    out2 = replay_dlq(spark, table, epoch=2)
+    assert out2 == {"replayed_rows": 0, "source_epochs": [], "version": None}
+
+    # replay #1 (same id as the claim) resumes its crashed attempt:
+    # the claim is its own, its marker is absent, so it proceeds
+    out1 = replay_dlq(spark, table, epoch=1)
+    assert out1["source_epochs"] == [0] and out1["replayed_rows"] > 0
+
+    # after #1's marker lands, a re-run under its id is a no-op too
+    # (nothing retryable left AND the epoch is consumed)
+    assert replay_dlq(spark, table, epoch=1)["source_epochs"] == []
+
+
 def test_replay_preserves_microsecond_timestamps(spark, tmp_path):
     """The DLQ original_event envelope must round-trip microsecond event
     times: Spark's default JSON timestampFormat is millis-only, so a

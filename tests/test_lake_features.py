@@ -183,6 +183,50 @@ def test_remove_orphan_files(spark, tmp_path):
     assert table.state_hash(spark) == h  # committed data untouched
 
 
+def test_remove_orphans_reclaims_commit_losers(spark, tmp_path):
+    """ADVICE r2: a writer that loses the v{N}.json race leaves its
+    fallback manifest-{N}-{k}.json behind, referencing its staged data
+    files. Those manifests are named by NO snapshot — treating them as
+    live pinned the loser's files forever. Both the files and the
+    orphan manifest must be reclaimed; committed manifests survive."""
+    import json
+    import os
+
+    from streaming_data_pipeline_spark.plans.lake import _atomic_write_json
+    from streaming_data_pipeline_spark.plans.maintenance import remove_orphan_files
+
+    table = SnapshotTable.create(str(tmp_path / "ol"), LAKE_BASE, n_buckets=4)
+    apply_changes(spark, table, _batch(spark, [_ev("insert", "a.py", 1)]), 0)
+    h = table.state_hash(spark)
+
+    # simulate the loser: staged files + a fallback manifest naming them,
+    # but no v{N}.json publish (it lost the exclusive-link race)
+    loser_dir = table.new_staging_dir("delta-loser")
+    _batch(spark, [_ev("insert", "lost.py", 9)]).write.mode("overwrite").parquet(loser_dir)
+    rels = []
+    for dirpath, _d, files in os.walk(loser_dir):
+        rels += [
+            os.path.relpath(os.path.join(dirpath, f), table.root)
+            for f in files
+            if f.endswith(".parquet")
+        ]
+    assert rels
+    _atomic_write_json(
+        {"files": [{"path": p, "bucket": 0, "rows": 1, "kind": "delta"} for p in rels]},
+        os.path.join(table.meta_dir, "manifest-2-1.json"),
+    )
+
+    deleted = remove_orphan_files(table)
+    assert any(p.endswith("manifest-2-1.json") for p in deleted)
+    assert not os.path.exists(loser_dir)
+    assert not os.path.exists(os.path.join(table.meta_dir, "manifest-2-1.json"))
+    # every committed manifest is still present and the state unchanged
+    meta = table.metadata()
+    for s in meta["snapshots"].values():
+        assert os.path.exists(os.path.join(table.meta_dir, s["manifest"]))
+    assert table.state_hash(spark) == h
+
+
 def test_rollback_of_rollback_schema(spark, tmp_path):
     """A rollback is itself a schema event in the log: rolling back TO a
     post-rollback version must restore the schema live AT that version,

@@ -130,6 +130,15 @@ def test_contamination_broadcasts_benchmark(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_text_operators_have_no_interpreted_hofs(spark):
+    """Higher-order functions (filter/transform/aggregate lambdas) run
+    interpreted outside whole-stage codegen; the text operators' hot
+    paths must use the codegen'd array_remove counting idiom instead."""
+    for q in (entrymod.q_lang_id, entrymod.q_text_quality, entrymod.q_token_stats):
+        plan = _plan(q(spark, SF))
+        assert "lambdafunction" not in plan.lower()
+
+
 def test_stratified_sample_is_map_only(spark):
     """Deterministic sampling is a pure filter: no exchange, no join, no
     aggregate — the property that lets it run inline in any scan."""

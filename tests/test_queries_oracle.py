@@ -31,6 +31,8 @@ FAST_QUERIES = [
     "text_quality",
     "token_stats",
     "multimodal_binary_stats",
+    "frame_sample",          # stub fan-out fully oracled (r3)
+    "post_compaction_state", # compaction invisibility as a graded row (r3)
     "ann_cosine_topk",
     "ann_lsh_sha",       # sha-plane SRP: full LSH pipeline oracled (r2)
     "dedup_simhash_sha", # sha-token SimHash: bit-vote + chunks oracled (r2)
