@@ -163,10 +163,24 @@ def merge_into(
     salt_buckets: int = 8,
     operation: str = "merge",
     column_renames: dict[str, str] | None = None,
+    write_changelog: bool = True,
 ) -> dict:
     """LWW-merge ``changes`` (validated CHANGE_EVENT rows, payload already
     promoted) into ``table``. Returns a summary dict (also recorded in
     the snapshot metadata): counts + per-bucket lineage.
+
+    ``write_changelog`` (default on): also stage the deduped source rows
+    as kind='changelog' sidecar files in the SAME commit. COW rewrites
+    are otherwise invisible to the change feed — rewritten bucket files
+    carry kind='base', indistinguishable from compaction — which made a
+    cow-mode lake permanently unrefreshable (r2 missing #1). Changelog
+    files are excluded from every data read (SnapshotTable.files) and
+    exist only for `changes_between`, mirroring exactly what MOR delta
+    files already provide; they follow the same retirement lifecycle
+    (dropped from the live manifest by later bucket rewrites, readable
+    from historical manifests until snapshot expiry). Cost: one extra
+    O(batch) bucketed write per epoch — marginal next to the COW join
+    that rewrites every touched bucket.
     """
     lake_schema = new_schema or table.schema()
     # pin the read snapshot: the touched buckets are read at this version,
@@ -189,7 +203,11 @@ def merge_into(
             ver = table.commit(
                 new_files=[], replaced_buckets=set(), schema=lake_schema,
                 epoch=epoch, operation=operation,
-                summary={"source_rows": 0, "touched_buckets": []},
+                summary={
+                    "source_rows": 0,
+                    "touched_buckets": [],
+                    "changelog": bool(write_changelog),
+                },
                 column_renames=column_renames,
                 expected_n_buckets=n_buckets,
             )
@@ -255,7 +273,24 @@ def merge_into(
             .partitionBy("_bucket")
             .parquet(staging)
         )
-        new_files = table.collect_written_files(staging)
+        merged_files = table.collect_written_files(staging)
+        new_files = merged_files
+        if write_changelog:
+            # the deduped source IS the epoch's change set (tombstones
+            # included) — the same rows a MOR epoch writes as its delta.
+            # Stale-vs-table losers are included here exactly as MOR
+            # includes them; feed consumers LWW-resolve.
+            cl_staging = table.new_staging_dir(f"changelog-e{epoch}")
+            (
+                src.repartition(F.col("_bucket"))
+                .sortWithinPartitions("_bucket", *LAKE_KEY)
+                .write.mode("overwrite")
+                .partitionBy("_bucket")
+                .parquet(cl_staging)
+            )
+            new_files = new_files + table.collect_written_files(
+                cl_staging, kind="changelog"
+            )
         try:
             metrics = obs.get
             rows_applied = int(metrics["rows_applied"] or 0)
@@ -263,7 +298,7 @@ def merge_into(
             rows_out = int(metrics["rows_out"] or 0)
             tombstones = int(metrics["tombstones"] or 0)
         except Exception:
-            rows_out = sum(f["rows"] for f in new_files)
+            rows_out = sum(f["rows"] for f in merged_files)
             rows_applied = rows_src = rows_out
             tombstones = 0
         summary = {
@@ -277,6 +312,7 @@ def merge_into(
             "tombstones": tombstones,
             "touched_buckets": sorted(touched),
             "files_written": len(new_files),
+            "changelog": bool(write_changelog),
         }
         ver = table.commit(
             new_files=new_files,

@@ -167,8 +167,12 @@ class SnapshotTable:
         """Manifest-level pruning: by bucket (partition pruning) and by
         per-file repo min/max stats (file skipping). Files written
         before stats were recorded (or with unreadable footers) are
-        conservatively kept."""
-        entries = self.manifest(version)
+        conservatively kept. kind='changelog' sidecars (COW merges'
+        change-feed records) are NEVER data — the merged base files
+        already hold those rows, so reading both would double them."""
+        entries = [
+            e for e in self.manifest(version) if e.get("kind") != "changelog"
+        ]
         if buckets is not None:
             entries = [e for e in entries if e["bucket"] in buckets]
         if repo is not None:
@@ -460,8 +464,10 @@ class SnapshotTable:
         endpoint manifests, so deltas later folded away by compaction
         still appear in the feed — compaction retires a file from the
         live view, not from history. Maintenance rewrites (compaction,
-        COW merges) write kind='base' files, which are EXCLUDED — they
-        carry existing rows forward and would duplicate the feed.
+        rebucket) write kind='base' files, which are EXCLUDED — they
+        carry existing rows forward and would duplicate the feed. COW
+        merges contribute via their kind='changelog' sidecar (the
+        deduped batch, written by merge_into in the same commit).
         Horizon: `expire_snapshots` deletes unreferenced data files, so
         retention bounds how far back the feed reaches (same contract as
         Iceberg snapshot expiry / Kafka retention)."""
@@ -477,7 +483,15 @@ class SnapshotTable:
             # delivered when first committed — emitting them again would
             # double-apply rows downstream
             if op != "rollback":
-                added += [e for e in cur if e["path"] not in prev and e.get("kind") == "delta"]
+                # delta (MOR epochs) and changelog (COW merges' sidecar)
+                # are the two change-record kinds; base files carry
+                # existing rows forward and would duplicate the feed
+                added += [
+                    e
+                    for e in cur
+                    if e["path"] not in prev
+                    and e.get("kind") in ("delta", "changelog")
+                ]
             prev = {e["path"] for e in cur}
         schema = self.schema(v_to)
         paths = [os.path.join(self.root, e["path"]) for e in added]

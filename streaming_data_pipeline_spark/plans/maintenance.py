@@ -75,7 +75,11 @@ def _rewrite_buckets(
 def compact(spark: SparkSession, table: SnapshotTable, max_files_per_bucket: int = 1) -> int:
     """Rewrite buckets fragmented beyond ``max_files_per_bucket`` into
     sorted single files. Returns the new (or current) version."""
-    counts = Counter(e["bucket"] for e in table.manifest())
+    # changelog sidecars are feed records, not live data — they neither
+    # fragment reads nor get folded by a rewrite, so they don't count
+    counts = Counter(
+        e["bucket"] for e in table.manifest() if e.get("kind") != "changelog"
+    )
     frag = {b for b, n in counts.items() if n > max_files_per_bucket}
     return _rewrite_buckets(spark, table, frag, operation="compact")
 

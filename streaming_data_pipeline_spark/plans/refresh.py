@@ -244,19 +244,25 @@ def refresh_training_mix(
             f"v{v0}; a shard cannot be rolled back incrementally — "
             "re-export from scratch"
         )
-    # the change feed is the refresh's ONLY source of truth, and two
-    # snapshot operations are invisible to it: COW merges (their rewritten
-    # bucket files carry kind='base', indistinguishable from compaction)
-    # and rollbacks (the feed deliberately skips re-published manifests).
+    # the change feed is the refresh's ONLY source of truth. COW merges
+    # are visible through their kind='changelog' sidecar (merge_into
+    # writes the deduped batch alongside the rewritten buckets), so they
+    # refresh fine — but a LEGACY merge committed without a sidecar is
+    # feed-invisible (its rewritten bucket files carry kind='base',
+    # indistinguishable from compaction), and rollbacks are deliberately
+    # skipped by the feed (re-published manifests would double-apply).
     # Refreshing across either would silently ship a stale shard that
     # still claims snapshot_version=v1.
     for v in range(v0 + 1, v1 + 1):
         meta_v = table.metadata(v)
-        op = meta_v["snapshots"][str(meta_v["current_snapshot_id"])].get("operation")
-        if op in ("merge", "rollback"):
+        snap = meta_v["snapshots"][str(meta_v["current_snapshot_id"])]
+        op = snap.get("operation")
+        no_sidecar = op == "merge" and not snap.get("summary", {}).get("changelog")
+        if op == "rollback" or no_sidecar:
+            what = "rollback" if op == "rollback" else "merge without a changelog sidecar"
             raise ValueError(
-                f"snapshot v{v} is a {op!r} commit, which the change feed "
-                "cannot represent; refresh only spans append/maintenance "
+                f"snapshot v{v} is a {what} commit, which the change feed "
+                "cannot represent; refresh only spans feed-visible "
                 "history — re-export from scratch"
             )
     rates = man["rates"]

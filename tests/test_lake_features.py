@@ -80,6 +80,42 @@ def test_changes_between_is_the_change_feed(spark, tmp_path):
     }
 
 
+def test_cow_merge_feeds_changes_via_changelog(spark, tmp_path):
+    """COW merges contribute their deduped batch to the change feed via
+    the kind='changelog' sidecar, while data reads NEVER see those files
+    (the merged base rows already hold them — reading both would double
+    the live view)."""
+    table = SnapshotTable.create(str(tmp_path / "cl"), LAKE_BASE, n_buckets=4)
+    apply_changes(spark, table, _batch(spark, [_ev("insert", "a.py", 1), _ev("insert", "b.py", 2)]), 0)
+    v1 = table.current_version()
+    apply_changes(
+        spark, table,
+        _batch(spark, [_ev("update", "a.py", 3, "v2"), _ev("delete", "b.py", 4), _ev("insert", "c.py", 5)]),
+        1, mode="cow",
+    )
+    v2 = table.current_version()
+
+    feed = table.changes_between(spark, v1, v2)
+    rows = {(r["path"], r["lsn"], r["_deleted"]) for r in feed.collect()}
+    assert rows == {("a.py", 3, False), ("b.py", 4, True), ("c.py", 5, False)}
+
+    # live view counts each key ONCE (changelog excluded from reads)
+    state = {(r["path"], r["lsn"]) for r in table.current_state(spark).collect()}
+    assert state == {("a.py", 3), ("c.py", 5)}
+    # and the raw (unresolved) scan holds no duplicate of the merged rows
+    raw = table.read(spark, resolved=False)
+    assert raw.groupBy("repo", "path").count().filter("count > 1").count() == 0
+
+    # compaction ignores changelog entries when counting fragmentation:
+    # a freshly-merged table (1 base file + 1 changelog entry per
+    # bucket) needs NO rewrite, and compact() is a version no-op
+    from streaming_data_pipeline_spark.plans.maintenance import compact
+
+    v_before = table.current_version()
+    compact(spark, table, max_files_per_bucket=1)
+    assert table.current_version() == v_before
+
+
 def test_rebucket_partition_evolution(spark, tmp_path):
     """Rebucketing preserves state bit-for-bit, switches the modulus for
     future applies and lookups, and keeps old snapshots readable."""

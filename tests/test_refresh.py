@@ -120,18 +120,54 @@ def test_refresh_with_benchmark(spark, tmp_path):
         refresh_training_mix(spark, table, outA)
 
 
+def test_refresh_spans_cow_merge_history(spark, tmp_path):
+    """A cow-mode lake is refreshable (r2 missing #1): merge_into's
+    changelog sidecar makes the merge feed-visible, so the refresh over
+    a mixed mor/cow history equals a full re-export."""
+    table = _seed(spark, tmp_path)
+    out = str(tmp_path / "s")
+    export_training_mix(spark, table, out, rates=RATES, default_rate=50)
+
+    # the adversarial delta applied via COW, plus a second cow epoch
+    rows = [
+        _ev("delete", "f0.py", 200, None),
+        _ev("update", "f1.py", 201, "def f_9():\n    return 9\n"),
+        _ev("insert", "a_new.py", 203, "def f_2():\n    return 2\n"),
+    ]
+    apply_changes(spark, table, _batch(spark, rows), 1, mode="cow")
+    apply_changes(
+        spark, table,
+        _batch(spark, [_ev("insert", "z_new.py", 204, "unique thing\n", "java")]),
+        2, mode="cow",
+    )
+
+    manR = refresh_training_mix(spark, table, out)
+    outB = str(tmp_path / "full")
+    manF = export_training_mix(spark, table, outB, rates=RATES, default_rate=50)
+    assert manR["counts"] == manF["counts"]
+    assert _shard_rows(spark, out) == _shard_rows(spark, outB)
+    assert _index_rows(spark, out) == _index_rows(spark, outB)
+    assert manR["changed_keys"] == 4
+
+
 def test_refresh_refuses_feed_invisible_history(spark, tmp_path):
-    """COW merges and rollbacks are invisible to the change feed (base
-    files / republished manifests); refreshing across them would ship a
-    silently stale shard — the refresh must refuse instead."""
+    """Legacy merges (no changelog sidecar) and rollbacks are invisible
+    to the change feed (base files / republished manifests); refreshing
+    across them would ship a silently stale shard — the refresh must
+    refuse instead."""
     import pytest
+
+    from streaming_data_pipeline_spark.operators.merge import merge_into
 
     table = _seed(spark, tmp_path)
     out = str(tmp_path / "s")
     export_training_mix(spark, table, out, rates=RATES, default_rate=50)
 
-    apply_changes(spark, table, _batch(spark, [_ev("insert", "x.py", 300, "xx\n")]), 1, mode="cow")
-    with pytest.raises(ValueError, match="merge"):
+    merge_into(
+        spark, table, _batch(spark, [_ev("insert", "x.py", 300, "xx\n")]),
+        epoch=1, write_changelog=False,
+    )
+    with pytest.raises(ValueError, match="merge without a changelog"):
         refresh_training_mix(spark, table, out)
 
     # a rollback in range refuses too
