@@ -154,3 +154,50 @@ def test_producer_roundtrip_is_lossless(spark):
         (3, (("review_state", "ok"),)),
         (4, ()),
     }
+
+
+def test_kafka_epoch_records_offset_lineage_end_to_end(spark, tmp_path):
+    """VERDICT r2 #7: the full run_epoch path over a Kafka-shaped batch,
+    with a synthesized Kafka-format checkpoint (OffsetSeqLog), must land
+    the topic:partition:endOffset lineage in the epoch commit marker —
+    closing the last untested claim in sources/kafka.py's docstring."""
+    from streaming_data_pipeline_spark.plans.lake import SnapshotTable
+    from streaming_data_pipeline_spark.schemas import LAKE_BASE
+    from streaming_data_pipeline_spark.streaming import stream as stream_mod
+    from streaming_data_pipeline_spark.streaming.apply import run_epoch
+    from streaming_data_pipeline_spark.streaming.exactly_once import EpochLog
+
+    # the batch as the Kafka source would deliver it, through the same
+    # parse stage the readStream wiring uses
+    batch = parse_kafka_records(
+        _records(spark, [_event(lsn=1), _event(lsn=2, path="b.py"),
+                         _event(op="bogus", lsn=3)])
+    )
+
+    # the engine's OffsetSeqLog entry for this batch id — what a real
+    # Kafka run writes under <ckpt>/offsets/<batchId> (no sources/ file)
+    ckpt = tmp_path / "ckpt"
+    off_dir = ckpt / "offsets"
+    off_dir.mkdir(parents=True)
+    (off_dir / "5").write_text(
+        'v1\n'
+        '{"batchWatermarkMs":0,"batchTimestampMs":1700000000000,"conf":{}}\n'
+        '{"change-events":{"0":120,"1":95,"2":88}}\n'
+    )
+
+    table = SnapshotTable.create(str(tmp_path / "lake"), LAKE_BASE, n_buckets=4)
+    log = EpochLog(table.root)
+    stats = run_epoch(
+        spark, table, log, batch, 5,
+        source_offsets=stream_mod.checkpoint_offsets(str(ckpt), 5),
+    )
+    assert stats is not None and stats["source_rows"] == 2  # bogus -> DLQ
+
+    marker = log.read(5)
+    assert marker["source_offsets"]["input_files"] == [
+        "change-events:0:120", "change-events:1:95", "change-events:2:88"
+    ]
+    assert marker["snapshot_version"] == stats["version"]
+    assert table.current_state(spark).count() == 2
+    # idempotence holds for kafka-fed epochs too
+    assert run_epoch(spark, table, log, batch, 5) is None

@@ -7,6 +7,7 @@ from __future__ import annotations
 import math
 
 import pyspark.sql.functions as F
+import pytest
 
 from streaming_data_pipeline_spark.operators import dedup_text, multimodal, similarity, text
 
@@ -185,10 +186,15 @@ def test_minhash_lsh_recall_vs_exact_corpus(spark):
     assert len(lsh & exact) / max(len(exact), 1) >= 0.9
 
 
-def test_ann_lsh_recall_floor(spark):
+EMB_SFS = ["sf0.001", "sf0.01", "sf0.1"]
+
+
+@pytest.mark.parametrize("sf", EMB_SFS)
+def test_ann_lsh_recall_floor(spark, sf):
     """Graded params (b=4, T=32): recall ≥ 0.9 vs exact top-5 on the
-    driver embeddings (measured 1.0 at sf0.001 and sf0.01)."""
-    emb = spark.read.parquet(SF_EMB)
+    driver embeddings at EVERY sandbox scale (measured 1.0 at all
+    three) — parameter-scale drift would trip here first (r2 #8)."""
+    emb = spark.read.parquet(f"/root/testdata/{sf}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 5)
     exact = {(r["query_id"], r["neighbor_id"]) for r in similarity.cosine_topk(emb, q, k=5).collect()}
     got = {
@@ -198,11 +204,13 @@ def test_ann_lsh_recall_floor(spark):
     assert len(exact & got) / len(exact) >= 0.9
 
 
-def test_embedding_near_dup_lsh_equals_exact(spark):
+@pytest.mark.parametrize("sf", EMB_SFS)
+def test_embedding_near_dup_lsh_equals_exact(spark, sf):
     """The graded SRP-bucketed near-dup path returns EXACTLY the
-    all-pairs twin's output at sandbox scale (recall 1.0; verify stage
+    all-pairs twin's output at every sandbox scale (measured recall 1.0
+    at sf0.001/0.01/0.1 with 14-144 true pairs; the verify stage
     removes false positives by construction)."""
-    emb = spark.read.parquet(SF_EMB)
+    emb = spark.read.parquet(f"/root/testdata/{sf}/embeddings.parquet")
     exact = {
         (r["doc_a"], r["doc_b"], r["cosine"])
         for r in similarity.near_dup_pairs(emb, threshold=0.45).collect()
