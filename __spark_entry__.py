@@ -167,6 +167,65 @@ def q_post_compaction_state(spark, sf_dir):
     return state.localCheckpoint(eager=True)
 
 
+def _two_epoch_lake(spark, sf_dir):
+    """Shared fixture for the snapshot-semantics contract rows: the
+    change stream split into two portable groups (lsn parity — epoch
+    parity would leave group 1 EMPTY at sf0.001, where every event_id
+    is under 1000), applied as two MOR epochs. LWW is order-independent
+    so the interleaved split still converges; what it buys is a REAL
+    delta between the snapshots at every sf. Returns (table,
+    version-after-first-epoch)."""
+    import atexit
+
+    changes = changes_from_events(_t(spark, sf_dir, "events"))
+    g0 = changes.filter(F.pmod(F.col("lsn"), F.lit(2)) == 0).drop("epoch")
+    g1 = changes.filter(F.pmod(F.col("lsn"), F.lit(2)) == 1).drop("epoch")
+    tmp = tempfile.mkdtemp(prefix="sdp_lake_tt_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    table = SnapshotTable.create(f"{tmp}/lake", LAKE_BASE, n_buckets=16)
+    apply_changes(spark, table, g0, epoch=0)
+    v0 = table.current_version()
+    apply_changes(spark, table, g1, epoch=1)
+    return table, v0
+
+
+def q_time_travel_state(spark, sf_dir):
+    """Snapshot isolation as a graded row: after a second epoch lands,
+    reading AT the first epoch's version must return exactly the LWW
+    state of the first epoch group — the Iceberg time-travel contract."""
+    table, v0 = _two_epoch_lake(spark, sf_dir)
+    state = (
+        table.read(spark, version=v0, resolved=True)
+        .filter(~F.col("_deleted"))
+        .select(
+            "repo",
+            "path",
+            "commit",
+            "lang",
+            F.sha2(F.col("content"), 256).alias("content_sha"),
+            "lsn",
+        )
+    )
+    return state.localCheckpoint(eager=True)
+
+
+def q_change_feed(spark, sf_dir):
+    """The lake's own CDC feed as a graded row: changes_between(v0, v1)
+    must emit exactly the second epoch group's valid rows (tombstones
+    included), with no re-emission of epoch-0 rows."""
+    table, v0 = _two_epoch_lake(spark, sf_dir)
+    feed = table.changes_between(spark, v0).select(
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        F.sha2(F.col("content"), 256).alias("content_sha"),
+        "lsn",
+        F.col("_deleted").alias("deleted"),
+    )
+    return feed.localCheckpoint(eager=True)
+
+
 def q_cdc_epoch_metrics(spark, sf_dir):
     changes = changes_from_events(_t(spark, sf_dir, "events"))
     valid_pred = (
@@ -611,6 +670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_dedup": q_cdc_lww_dedup,
         "cdc_final_state": q_cdc_final_state,
         "post_compaction_state": q_post_compaction_state,
+        "time_travel_state": q_time_travel_state,
+        "change_feed": q_change_feed,
         "cdc_epoch_metrics": q_cdc_epoch_metrics,
         "cdc_health": q_cdc_health,
         "transform_enrich": q_transform_enrich,
@@ -768,6 +829,27 @@ def oracle_sql() -> dict[str, str]:
             {_LWW_CTE}
             SELECT repo, path, commit, lang, sha256(content) AS content_sha, lsn
             FROM lww WHERE rn = 1 AND op <> 'delete'
+        """,
+        # time travel: the state AT the first epoch group's snapshot is
+        # the LWW fold of that group alone — the second group invisible
+        "time_travel_state": f"""
+            {_CHANGES_CTE},
+            valid AS (SELECT * FROM changes
+                      WHERE {_VALID_SQL} AND ((lsn % 2) + 2) % 2 = 0),
+            lww AS (SELECT *, row_number() OVER (
+                      PARTITION BY repo, path
+                      ORDER BY lsn DESC, commit DESC) AS rn FROM valid)
+            SELECT repo, path, commit, lang, sha256(content) AS content_sha, lsn
+            FROM lww WHERE rn = 1 AND op <> 'delete'
+        """,
+        # the feed between the two snapshots is exactly the second epoch
+        # group's valid rows, deletes as tombstones
+        "change_feed": f"""
+            {_CHANGES_CTE}
+            SELECT repo, path, commit, lang, sha256(content) AS content_sha,
+                   lsn, (op = 'delete') AS deleted
+            FROM changes
+            WHERE {_VALID_SQL} AND ((lsn % 2) + 2) % 2 = 1
         """,
         # deliberately IDENTICAL to cdc_final_state's oracle: the Spark
         # side applies in three MOR epochs then compacts, and compaction
