@@ -105,3 +105,59 @@ def kafka_dlq_sink_options(bootstrap_servers: str, topic: str = "dead-letter") -
         "kafka.bootstrap.servers": bootstrap_servers,
         "topic": topic,
     }
+
+
+# ---------------------------------------------------------------------------
+# Topic admin (O4, reference: src/utils.py:27-68 create_kafka_topics)
+# ---------------------------------------------------------------------------
+
+DEFAULT_TOPIC_SPECS = (
+    # the reference's layout: 3-partition event topic, 1-partition DLQ
+    # (src/utils.py:38-49). At CDC scale the event topic's partition
+    # count bounds consumer parallelism — size it like shuffle
+    # partitions, not like the demo.
+    {"name": "change-events", "partitions": 3, "replication_factor": 1},
+    {"name": "dead-letter", "partitions": 1, "replication_factor": 1},
+)
+
+
+def ensure_topics(admin, specs=DEFAULT_TOPIC_SPECS, *, strict: bool = True) -> dict:
+    """Idempotent topic bootstrap against an INJECTED admin client (any
+    object with `list_topics() -> {name: partition_count}` and
+    `create_topic(name, partitions, replication_factor)` — a thin shim
+    over confluent-kafka's AdminClient or kafka-python's
+    KafkaAdminClient on a real deployment; no broker library ships in
+    this sandbox, so the semantics are pinned against a fake in
+    tests/test_kafka_contract.py).
+
+    Improves on the reference in two ways a real operator needs:
+    create-if-absent is IDEMPOTENT (the reference returns False when a
+    topic already exists and the create future raises), and an existing
+    topic with the WRONG partition count is surfaced (``strict=True``
+    raises; else recorded) — a silent mismatch would cap consumer
+    parallelism and break key→partition affinity assumptions.
+
+    Returns {"created": [...], "existing": [...], "mismatched": [...]}.
+    """
+    existing = admin.list_topics()
+    out: dict[str, list] = {"created": [], "existing": [], "mismatched": []}
+    for spec in specs:
+        name = spec["name"]
+        want = int(spec["partitions"])
+        if name in existing:
+            have = int(existing[name])
+            if have != want:
+                out["mismatched"].append({"name": name, "have": have, "want": want})
+                if strict:
+                    raise ValueError(
+                        f"topic {name!r} exists with {have} partitions, "
+                        f"spec wants {want}; repartitioning a live topic "
+                        "reshuffles key->partition affinity — resolve "
+                        "explicitly (strict=False records instead)"
+                    )
+            else:
+                out["existing"].append(name)
+            continue
+        admin.create_topic(name, want, int(spec.get("replication_factor", 1)))
+        out["created"].append(name)
+    return out

@@ -201,3 +201,43 @@ def test_kafka_epoch_records_offset_lineage_end_to_end(spark, tmp_path):
     assert table.current_state(spark).count() == 2
     # idempotence holds for kafka-fed epochs too
     assert run_epoch(spark, table, log, batch, 5) is None
+
+
+def test_ensure_topics_idempotent_and_partition_safe():
+    """O4 topic admin closed at contract level: create-if-absent is
+    idempotent (reference returns False on re-run — ours is a no-op),
+    and a live topic with the wrong partition count raises instead of
+    silently capping consumer parallelism."""
+    import pytest
+
+    from streaming_data_pipeline_spark.sources.kafka import (
+        DEFAULT_TOPIC_SPECS,
+        ensure_topics,
+    )
+
+    class FakeAdmin:
+        def __init__(self):
+            self.topics: dict[str, int] = {}
+
+        def list_topics(self):
+            return dict(self.topics)
+
+        def create_topic(self, name, partitions, replication_factor):
+            assert name not in self.topics
+            self.topics[name] = partitions
+
+    admin = FakeAdmin()
+    first = ensure_topics(admin, DEFAULT_TOPIC_SPECS)
+    assert first["created"] == ["change-events", "dead-letter"]
+    assert admin.topics == {"change-events": 3, "dead-letter": 1}
+
+    # idempotent re-run: everything already there, nothing re-created
+    again = ensure_topics(admin, DEFAULT_TOPIC_SPECS)
+    assert again == {"created": [], "existing": ["change-events", "dead-letter"], "mismatched": []}
+
+    # partition-count drift surfaces
+    admin.topics["change-events"] = 2
+    with pytest.raises(ValueError, match="partition"):
+        ensure_topics(admin, DEFAULT_TOPIC_SPECS)
+    lax = ensure_topics(admin, DEFAULT_TOPIC_SPECS, strict=False)
+    assert lax["mismatched"] == [{"name": "change-events", "have": 2, "want": 3}]

@@ -379,3 +379,31 @@ def test_bucket_replacing_commit_rejects_concurrent_append(spark, tmp_path):
     h = table.state_hash(spark)
     compact(spark, table, max_files_per_bucket=1)
     assert table.state_hash(spark) == h
+
+
+def test_change_feed_truncation_surfaces_after_expiry(spark, tmp_path):
+    """Retention bounds the feed: once expire_snapshots deletes a delta
+    no retained snapshot references, changes_between over that range
+    must FAIL LOUDLY (silent truncation would ship a stale refresh) —
+    while the retained-range feed still works."""
+    import pytest
+
+    from streaming_data_pipeline_spark.plans.maintenance import (
+        compact,
+        expire_snapshots,
+    )
+
+    table = SnapshotTable.create(str(tmp_path / "tr"), LAKE_BASE, n_buckets=4)
+    # two epochs on the SAME key fragment its bucket (2 delta files), so
+    # the compaction genuinely retires them from the live manifest
+    apply_changes(spark, table, _batch(spark, [_ev("insert", "a.py", 1)]), 0)
+    apply_changes(spark, table, _batch(spark, [_ev("update", "a.py", 2, "v2")]), 1)
+    compact(spark, table, max_files_per_bucket=1)
+    apply_changes(spark, table, _batch(spark, [_ev("insert", "c.py", 3)]), 2)
+    v_recent = table.current_version()
+
+    expire_snapshots(table, keep_last=2)  # drops the pre-compaction deltas
+    with pytest.raises(FileNotFoundError, match="truncated"):
+        table.changes_between(spark, 0).count()
+    # the retained horizon still feeds
+    assert table.changes_between(spark, v_recent - 1, v_recent).count() == 1
