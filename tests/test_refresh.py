@@ -378,3 +378,36 @@ def test_refresh_empties_partition_like_full_export(spark, tmp_path):
         "after_repetition_filter": 0, "sampled": 0,
     }
     assert not any(d.startswith("lang=") for d in os.listdir(f"{out}/data"))
+
+
+def test_refresh_spans_maintenance_history(spark, tmp_path):
+    """Compaction, rebucket and tombstone purges in the v0->v1 range are
+    feed-invisible by design (base-file rewrites, no key changes) and
+    must NOT block or skew a refresh: the result still equals a full
+    re-export at v1."""
+    from streaming_data_pipeline_spark.plans.maintenance import (
+        compact,
+        purge_tombstones,
+        rebucket,
+    )
+
+    table = _seed(spark, tmp_path)
+    out = str(tmp_path / "s")
+    export_training_mix(spark, table, out, rates=RATES, default_rate=50)
+
+    _mutate(spark, table)
+    compact(spark, table, max_files_per_bucket=1)
+    rebucket(spark, table, 16)
+    purge_tombstones(spark, table, lsn_horizon=1000)
+    apply_changes(
+        spark, table,
+        _batch(spark, [_ev("insert", "post_maint.py", 2000, "def pm():\n    return 1\n")]),
+        2,
+    )
+
+    manR = refresh_training_mix(spark, table, out)
+    outB = str(tmp_path / "full")
+    manF = export_training_mix(spark, table, outB, rates=RATES, default_rate=50)
+    assert manR["counts"] == manF["counts"]
+    assert _shard_rows(spark, out) == _shard_rows(spark, outB)
+    assert _index_rows(spark, out) == _index_rows(spark, outB)
