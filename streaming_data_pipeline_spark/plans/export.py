@@ -71,6 +71,30 @@ def shard_file_group(file_groups: int):
     return F.pmod(F.xxhash64("repo", "path"), F.lit(file_groups))
 
 
+# shuffle-partition head-room multiplier for shard writes. The shuffle
+# partition COUNT must be (a) explicit — a column-only repartition uses
+# the session's shuffle.partitions and AQE may re-coalesce it, both of
+# which break cross-session layout determinism — and (b) much larger
+# than file_groups: repartition(G, ...) would cap TOTAL writer
+# parallelism at G across ALL strata (the funnel the fan-out exists to
+# remove) and birthday-collide a stratum's G groups into ~0.63*G
+# partitions. With N = G * 32 the expected per-stratum file count stays
+# ≈ G and total parallelism scales with n_langs * G up to N.
+_SHARD_WRITE_HEADROOM = 32
+
+
+def shard_repartition(df: DataFrame, file_groups: int, lang_col) -> DataFrame:
+    """The ONE shuffle spec for shard writes, shared by export and
+    refresh so a refreshed partition reproduces the full export's file
+    grouping exactly: same partition count, same hash columns
+    (lang, key-group) ⇒ each (lang, g) lands in the same shuffle
+    partition id in both paths, hence the same file splits. Refresh
+    passes the stratum's lang as a LITERAL column (its frames are
+    already single-stratum)."""
+    n = file_groups * _SHARD_WRITE_HEADROOM
+    return df.repartition(n, lang_col, shard_file_group(file_groups))
+
+
 def export_training_mix(
     spark: SparkSession,
     table: SnapshotTable,
@@ -188,8 +212,11 @@ def export_training_mix(
         # layout stays deterministic; file_groups is recorded in the
         # manifest so refresh stages rewrites with the same fan-out.
         (
-            sampled.select("repo", "path", "lang", "text", "_sha")
-            .repartition(file_groups, F.col("lang"), shard_file_group(file_groups))
+            shard_repartition(
+                sampled.select("repo", "path", "lang", "text", "_sha"),
+                file_groups,
+                F.col("lang"),
+            )
             .sortWithinPartitions("lang", "repo", "path")
             .write.mode("overwrite")
             .partitionBy("lang")

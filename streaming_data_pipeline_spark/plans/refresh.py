@@ -39,7 +39,7 @@ from ..operators.curation import (
     hash_stratified_sample,
     repetition_score,
 )
-from .export import SHARD_SCHEMA, sha_col, shard_file_group, write_index
+from .export import SHARD_SCHEMA, sha_col, shard_repartition, write_index
 from .lake import SnapshotTable, _atomic_write_json
 
 # Verbatim port of Spark's ExternalCatalogUtils.escapePathName character
@@ -173,12 +173,24 @@ def _pruned_state_for_keys(
 
 
 def _parquet_rows(d: str) -> int:
+    """Row count of a staged dir — and drop 0-row part files while the
+    footers are open anyway: a direct (non-partitionBy) write emits one
+    empty schema-carrying file when task 0 is empty, which a full
+    export's partitionBy write never produces; leaving it would break
+    the refreshed-partition == exported-partition FILE-layout parity."""
     import pyarrow.parquet as pq
 
     total = 0
     for fn in os.listdir(d):
         if fn.endswith(".parquet"):
-            total += pq.ParquetFile(os.path.join(d, fn)).metadata.num_rows
+            full = os.path.join(d, fn)
+            n = pq.ParquetFile(full).metadata.num_rows
+            if n == 0:
+                os.unlink(full)
+                crc = os.path.join(d, f".{fn}.crc")
+                if os.path.exists(crc):
+                    os.unlink(crc)
+            total += n
     return total
 
 
@@ -392,10 +404,12 @@ def refresh_training_mix(
     additions = _persist(add_text.unionByName(add_carry))
 
     langs = {
-        # partitionBy lands BOTH null and '' in __HIVE_DEFAULT_PARTITION__
-        # (and reads them back as null) — treat them as one stratum here
-        # or two staging writes would race for the same tmp dir
-        (None if r[0] in (None, "") else r[0])
+        # partitionBy lands null, '' AND the literal string
+        # '__HIVE_DEFAULT_PARTITION__' all in the default partition dir
+        # (and reads every one of them back as null) — treat them as ONE
+        # stratum here, or multiple staging writes would clobber each
+        # other's tmp dir (mode=overwrite) and the swap loop would tear
+        (None if r[0] in (None, "", _HIVE_DEFAULT_PARTITION) else r[0])
         for r in removals.join(shard0.select("doc_id", "lang"), "doc_id")
         .select("lang")
         .unionByName(additions.select("lang"))
@@ -406,7 +420,11 @@ def refresh_training_mix(
 
     def _lang_pred(lang):
         if lang is None:
-            return F.col("lang").isNull() | (F.col("lang") == "")
+            return (
+                F.col("lang").isNull()
+                | (F.col("lang") == "")
+                | (F.col("lang") == _HIVE_DEFAULT_PARTITION)
+            )
         return F.col("lang") == F.lit(lang)
 
     file_groups = int(man.get("file_groups", 1))
@@ -427,10 +445,14 @@ def refresh_training_mix(
                 )
             )
         )
-        # same deterministic G-way fan-out as the export's shard write:
-        # one stratum no longer funnels through a single writer task
+        # the export's exact shuffle spec with the stratum lang as a
+        # literal: same partition count + hash columns ⇒ the staged
+        # partition reproduces the full export's file splits, not just
+        # its row set. (Degenerate ''-lang rows hash as null here vs ''
+        # in the export — row-set equality still holds for that stratum;
+        # layout parity is only claimed for real langs.)
         (
-            part.repartition(file_groups, shard_file_group(file_groups))
+            shard_repartition(part, file_groups, F.lit(lang).cast("string"))
             .sortWithinPartitions("repo", "path")
             .write.mode("overwrite")
             .parquet(

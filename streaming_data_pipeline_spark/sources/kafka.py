@@ -148,16 +148,20 @@ def ensure_topics(admin, specs=DEFAULT_TOPIC_SPECS, *, strict: bool = True) -> d
             have = int(existing[name])
             if have != want:
                 out["mismatched"].append({"name": name, "have": have, "want": want})
-                if strict:
-                    raise ValueError(
-                        f"topic {name!r} exists with {have} partitions, "
-                        f"spec wants {want}; repartitioning a live topic "
-                        "reshuffles key->partition affinity — resolve "
-                        "explicitly (strict=False records instead)"
-                    )
             else:
                 out["existing"].append(name)
             continue
         admin.create_topic(name, want, int(spec.get("replication_factor", 1)))
         out["created"].append(name)
+    # every absent topic is created and every spec validated BEFORE any
+    # raise: failing fast on the first mismatch would leave later topics
+    # (e.g. the DLQ) unbootstrapped and report only a partial picture
+    if strict and out["mismatched"]:
+        raise ValueError(
+            f"{len(out['mismatched'])} topic(s) exist with the wrong "
+            f"partition count: {out['mismatched']}; repartitioning a "
+            "live topic reshuffles key->partition affinity — resolve "
+            "explicitly (strict=False records instead). "
+            f"Absent topics were still created: {out['created']}"
+        )
     return out

@@ -124,6 +124,17 @@ def replay_dlq(
     concurrent replays of the same id cannot double-consume."""
     if epoch < REPLAY_EPOCH_BASE:
         epoch = REPLAY_EPOCH_BASE + epoch
+    # a COMPLETED replay id is consumed, full stop: re-using it against
+    # newly-retryable epochs would claim them (the claim resume-check
+    # reads "our id, marker absent" as a crashed attempt), apply, then
+    # crash on the exclusive marker write — stranding those epochs
+    # behind claims no id can ever consume. Refuse up front instead.
+    if os.path.exists(os.path.join(_replay_dir(table.root), f"replay-{epoch}.json")):
+        raise ValueError(
+            f"replay epoch id {epoch} has already completed; each replay "
+            "run needs a fresh id (re-use is only valid to RESUME a "
+            "crashed attempt, which has claims but no replay marker)"
+        )
     todo = retryable_dead_letters(spark, table.root)
     # bounded collect: one row per DLQ epoch (epoch count, not data size)
     src_epochs = sorted(r[0] for r in todo.select("epoch").distinct().collect())

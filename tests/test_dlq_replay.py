@@ -136,9 +136,15 @@ def test_concurrent_replays_cannot_double_consume(spark, tmp_path):
     out1 = replay_dlq(spark, table, epoch=1)
     assert out1["source_epochs"] == [0] and out1["replayed_rows"] > 0
 
-    # after #1's marker lands, a re-run under its id is a no-op too
-    # (nothing retryable left AND the epoch is consumed)
-    assert replay_dlq(spark, table, epoch=1)["source_epochs"] == []
+    # after #1's marker lands its id is CONSUMED: re-using it would let
+    # the claim resume-check mis-read future claims as crashed attempts
+    # and then crash on the exclusive marker write — refused up front
+    import pytest
+
+    with pytest.raises(ValueError, match="already completed"):
+        replay_dlq(spark, table, epoch=1)
+    # a fresh id over the consumed epoch is a clean no-op
+    assert replay_dlq(spark, table, epoch=3)["source_epochs"] == []
 
 
 def test_replay_preserves_microsecond_timestamps(spark, tmp_path):

@@ -244,6 +244,34 @@ def test_refresh_with_adversarial_lang_values(spark, tmp_path):
     assert da == db
 
 
+def test_literal_default_partition_lang_collapses(spark, tmp_path):
+    """A producer-supplied lang equal to the LITERAL string
+    '__HIVE_DEFAULT_PARTITION__' shares a partition dir with null langs
+    (Spark's own collapse); refresh must treat them as one stratum or
+    its two staging writes clobber each other."""
+    table = SnapshotTable.create(str(tmp_path / "lake"), LAKE_BASE, n_buckets=8)
+    rows = [
+        # '' survives apply_defaults (only NULL lang gets the 'other'
+        # default) and partitionBy lands it in the default partition
+        _ev("insert", "a.py", 1, "def alpha():\n    return one two three\n", ""),
+        _ev("insert", "b.py", 2, "def beta():\n    return four five six\n", "__HIVE_DEFAULT_PARTITION__"),
+        _ev("insert", "c.py", 3, "def gamma():\n    return seven eight nine\n", "python"),
+    ]
+    apply_changes(spark, table, _batch(spark, rows), 0)
+    out = str(tmp_path / "s")
+    export_training_mix(spark, table, out, rates=RATES, default_rate=100)
+
+    rows = [
+        _ev("update", "a.py", 10, "def alpha():\n    return ten eleven twelve\n", ""),
+        _ev("update", "b.py", 11, "def beta():\n    return thirteen fourteen fifteen\n", "__HIVE_DEFAULT_PARTITION__"),
+    ]
+    apply_changes(spark, table, _batch(spark, rows), 1)
+    refresh_training_mix(spark, table, out)
+    outB = str(tmp_path / "full")
+    export_training_mix(spark, table, outB, rates=RATES, default_rate=100)
+    assert _shard_rows(spark, out) == _shard_rows(spark, outB)
+
+
 def test_refresh_with_null_content_doc(spark, tmp_path):
     """A live null-content row (reachable via a DLQ-replay fixer path —
     append_delta does not re-validate) must flow through export AND
@@ -328,6 +356,26 @@ def test_shard_write_fans_out_per_stratum(spark, tmp_path):
     outB = str(tmp_path / "full")
     export_training_mix(spark, table, outB, rates=RATES, default_rate=100, file_groups=4)
     assert _shard_rows(spark, out) == _shard_rows(spark, outB)
+
+    # FILE-LAYOUT parity, not just row sets: the refreshed stratum must
+    # reproduce the full export's file splits (shared shuffle spec —
+    # same partition count, same (lang, group) hash columns)
+    import pyarrow.parquet as pq
+
+    def file_layout(d):
+        out_files = []
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".parquet"):
+                t = pq.read_table(os.path.join(d, fn))
+                out_files.append(tuple(sorted(zip(
+                    t.column("repo").to_pylist(), t.column("path").to_pylist()
+                ))))
+        return sorted(out_files)
+
+    for lang in ("python", "go", "java"):
+        assert file_layout(f"{out}/data/lang={lang}") == file_layout(
+            f"{outB}/data/lang={lang}"
+        ), lang
 
 
 def test_refresh_recovers_from_torn_swap(spark, tmp_path):
