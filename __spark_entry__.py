@@ -457,6 +457,21 @@ def q_dedup_simhash_sha(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive near-dup clusters: pairs from the (oracled) n-gram
+    Jaccard operator, closed into connected components by iterative
+    min-label propagation with pointer jumping — the engine's fully
+    oracled ITERATIVE algorithm (DuckDB twin: recursive transitive
+    closure). Every doc appears; singletons are their own cluster."""
+    from streaming_data_pipeline_spark.operators.graph import assign_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup_text.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.5, max_shingle_df=1000
+    ).select("doc_a", "doc_b")
+    return assign_clusters(docs, pairs)
+
+
 def q_text_quality(spark, sf_dir):
     return text.quality_scores(_t(spark, sf_dir, "documents")).withColumn(
         "n_tokens", F.col("n_tokens").cast("long")
@@ -686,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_top3_events": q_user_top3_events,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_lsh_sha": q_dedup_minhash_lsh_sha,
         "dedup_simhash": q_dedup_simhash,
@@ -1019,6 +1035,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5
+        """,
+        # iterative-algorithm twin: Spark runs pointer-jumping min-label
+        # propagation; DuckDB computes the same components as a recursive
+        # transitive closure over the identical (oracled) pair graph
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_shingles_sql("toks", "sh")},
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM sh a
+              JOIN rare r ON a.shingle = r.shingle
+              JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT doc_a, doc_b FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5),
+            edges AS (
+              SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+            reach(s, d) AS (
+              SELECT s, d FROM edges
+              UNION
+              SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+            cid AS (SELECT s, least(s, min(d)) AS cluster_id FROM reach GROUP BY s)
+            SELECT doc_id, coalesce(cid.cluster_id, doc_id) AS cluster_id
+            FROM documents LEFT JOIN cid ON cid.s = documents.doc_id
         """,
         "dedup_minhash_lsh_sha": f"""
             WITH {_shingles_sql("toks", "sh")},

@@ -27,6 +27,7 @@ FAST_QUERIES = [
     "user_top3_events",
     "dedup_exact",
     "dedup_ngram_jaccard",  # graded with the DF cap on (r2)
+    "dedup_clusters",       # iterative CC vs recursive-CTE closure (r3)
     "embedding_near_dup",   # graded via the SRP-bucketed LSH path (r2)
     "text_quality",
     "token_stats",
