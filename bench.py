@@ -158,6 +158,9 @@ def main() -> None:
         "dedup_minhash_lsh",
         "text_quality",
         "ann_cosine_topk",
+        "ann_lsh",
+        "ann_ivf",
+        "dedup_clusters",
         "multimodal_decode",
     ]
     timings: dict[str, float] = {}
