@@ -223,36 +223,19 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*mins)
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    n: int = 3,
-    k: int = 32,
-    bands: int = 8,
-    threshold: float = 0.5,
-    seed: int = 42,
-    hash_fn: str = "xxhash64",
+def _band_buckets_from_sets(
+    sets: DataFrame, k: int, bands: int, seed: int, hash_fn: str
 ) -> DataFrame:
-    """MinHash + LSH banding: docs sharing any band bucket become
-    candidates; candidates are verified with exact Jaccard (no false
-    positives in the output; recall governed by (b, r)).
-
-    Verification joins each candidate pair to the two docs' distinct-
-    shingle ARRAYS and scores with array_intersect/array_union —
-    proportional to candidate count, not to the corpus-wide inverted
-    index (candidates are the rare case by construction).
-
-    ``hash_fn``: 'xxhash64' (default — the fast JVM hash) or 'sha'
-    (sha256-prefix permutations, engine-portable: DuckDB computes the
-    identical signatures, making the WHOLE pipeline — signatures, band
-    buckets, surviving pairs — oracle-checkable end to end; ~3× slower,
-    so the fast path stays default)."""
+    """(doc_id, band, bucket) LSH band buckets from (doc_id, sh_set)
+    rows. Factored out of minhash_lsh_pairs so the incremental shard
+    refresh can probe a STORED bucket sidecar with only the changed
+    docs' buckets (O(delta) candidate generation) — bands are a pure
+    function of the text, so stored and recomputed buckets agree."""
     if k % bands != 0:
         # a bare assert would vanish under python -O and silently leave
         # k % bands signature columns out of every band (recall loss)
         raise ValueError(f"k={k} must be divisible by bands={bands}")
     r = k // bands
-    sets = shingle_sets(df, text_col, n)
     sh = sets.select("doc_id", F.explode("sh_set").alias("shingle"))
     if hash_fn == "sha":
         mins = [
@@ -277,12 +260,78 @@ def minhash_lsh_pairs(
         ]
     else:
         band_cols = [
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*[F.col(f"mh_{b * r + j}") for j in range(r)]).alias("bucket"))
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*[F.col(f"mh_{b * r + j}") for j in range(r)]).cast("string").alias("bucket"))
             for b in range(bands)
         ]
-    buckets = sig.select(
+    return sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_band_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Public band-bucket emission for sidecar storage (plans/export.py
+    near-dup stage): (doc_id, band, bucket:string)."""
+    return _band_buckets_from_sets(
+        shingle_sets(df, text_col, n), k=k, bands=bands, seed=seed, hash_fn=hash_fn
+    )
+
+
+def verify_jaccard_pairs(
+    cand: DataFrame, docs: DataFrame, text_col: str = "text", n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs
+    against the documents' shingle sets — the shared verify stage of
+    minhash_lsh_pairs, exposed for incremental refresh (which verifies
+    candidates against a DELTA-sized doc set, not the corpus)."""
+    sets = shingle_sets(docs, text_col, n)
+    a_sets = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"))
+    b_sets = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"))
+    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+    union = F.size(F.array_union(F.col("set_a"), F.col("set_b")))
+    return (
+        cand.join(a_sets, "doc_a")
+        .join(b_sets, "doc_b")
+        .withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """MinHash + LSH banding: docs sharing any band bucket become
+    candidates; candidates are verified with exact Jaccard (no false
+    positives in the output; recall governed by (b, r)).
+
+    Verification joins each candidate pair to the two docs' distinct-
+    shingle ARRAYS and scores with array_intersect/array_union —
+    proportional to candidate count, not to the corpus-wide inverted
+    index (candidates are the rare case by construction).
+
+    ``hash_fn``: 'xxhash64' (default — the fast JVM hash) or 'sha'
+    (sha256-prefix permutations, engine-portable: DuckDB computes the
+    identical signatures, making the WHOLE pipeline — signatures, band
+    buckets, surviving pairs — oracle-checkable end to end; ~3× slower,
+    so the fast path stays default)."""
+    sets = shingle_sets(df, text_col, n)
+    buckets = _band_buckets_from_sets(sets, k=k, bands=bands, seed=seed, hash_fn=hash_fn)
     cand = (
         buckets.alias("x")
         .join(buckets.alias("y"), ["band", "bucket"])

@@ -88,8 +88,10 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         # labels only decrease ⇒ equal sums mean a fixpoint (one scalar
-        # agg per round — no row-diff join)
-        s = labels.agg(F.sum("label")).collect()[0][0]
+        # agg per round — no row-diff join). decimal(38,0): labels are
+        # full-range xxhash64 ids, and a LONG sum overflows under ANSI
+        # mode on the first real corpus.
+        s = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
         if s == prev_sum:
             return labels.select(F.col("n").alias("node"), F.col("label").alias("cluster_id"))
         prev_sum = s

@@ -108,10 +108,21 @@ def export_training_mix(
     n: int = 3,
     version: int | None = None,
     file_groups: int = 8,
+    near_dup_threshold: float | None = None,
 ) -> dict:
     """Export a curated training shard from snapshot ``version`` (default
     current). Returns the manifest dict (also written to
-    ``out_dir/_manifest.json``)."""
+    ``out_dir/_manifest.json``).
+
+    ``near_dup_threshold``: when set, a NEAR-duplicate dedup stage runs
+    after exact dedup — MinHash-LSH pairs at this Jaccard threshold,
+    closed into transitive clusters (operators/graph.py), keeping the
+    min-doc_id representative per cluster. Two sidecars land next to
+    the index (``_near/bands``: every exact keeper's LSH band buckets;
+    ``_near/pairs``: the verified pair graph) so the incremental
+    refresh can regenerate exactly the pairs with a changed endpoint by
+    probing the stored buckets — O(delta), never re-shingling the
+    corpus — and re-cluster only the affected components."""
     v = table.current_version() if version is None else version
     state = table.current_state(spark, version=v)
     docs = state.select(
@@ -170,6 +181,43 @@ def export_training_mix(
         deduped, counts["after_exact_dedup"] = _stage(deduped, None)
         keeper_ids = _persist(deduped.select("doc_id"))
         keeper_ids.count()
+
+        # 1b. optional near-dup dedup over the exact keepers: LSH pairs →
+        # transitive clusters → min-doc_id representative survives
+        clusters = None
+        near_bands = None
+        near_pairs = None
+        if near_dup_threshold is not None:
+            from ..operators.dedup_text import minhash_band_buckets, minhash_lsh_pairs
+            from ..operators.graph import connected_components
+
+            near_bands = _persist(
+                minhash_band_buckets(deduped.select("doc_id", "text"), n=n)
+            )
+            near_bands.count()
+            near_pairs = _persist(
+                minhash_lsh_pairs(
+                    deduped.select("doc_id", "text"), n=n, threshold=near_dup_threshold
+                ).select("doc_a", "doc_b")
+            )
+            near_pairs.count()
+            cc = connected_components(near_pairs)
+            clusters = _persist(
+                deduped.select("doc_id")
+                .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+                )
+            )
+            clusters.count()
+            deduped, counts["after_near_dedup"] = _stage(
+                deduped.join(
+                    clusters.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id"),
+                    "doc_id",
+                ),
+                None,  # the exact-keeper frame stays cached for sidecars/index
+            )
 
         # 2. decontamination against the benchmark/eval corpus. The
         # fail-sets are persisted id-frames: the index join below reuses
@@ -234,7 +282,24 @@ def export_training_mix(
             sampled.select("doc_id"),
             benchmark_used=benchmark is not None,
             dest=os.path.join(out_dir, "_index"),
+            clusters=clusters,
         )
+        if near_dup_threshold is not None:
+            # the refresh substrate: stored buckets (probe target for
+            # changed docs) + the verified pair graph (edges to carry /
+            # invalidate). Sorted, fixed-width layout like the index.
+            (
+                near_bands.repartition(4)
+                .sortWithinPartitions("doc_id", "band")
+                .write.mode("overwrite")
+                .parquet(os.path.join(out_dir, "_near", "bands"))
+            )
+            (
+                near_pairs.repartition(1)
+                .sortWithinPartitions("doc_a", "doc_b")
+                .write.mode("overwrite")
+                .parquet(os.path.join(out_dir, "_near", "pairs"))
+            )
         manifest = {
             "snapshot_version": v,
             "rates": rates,
@@ -244,6 +309,7 @@ def export_training_mix(
             "n": n,
             "benchmark_used": benchmark is not None,
             "file_groups": file_groups,
+            "near_dup_threshold": near_dup_threshold,
             "counts": counts,
         }
         _atomic_write_json(manifest, os.path.join(out_dir, "_manifest.json"))
@@ -264,20 +330,30 @@ def write_index(
     *,
     benchmark_used: bool,
     dest: str,
+    clusters: DataFrame | None = None,
 ) -> None:
     """Write the curation index: (doc_id, repo, path, lang, _sha,
-    is_keeper, passed_decontam, passed_repetition, sampled).
+    is_keeper, cluster_id, passed_decontam, passed_repetition, sampled).
 
     Flag semantics mirror the export stages exactly — refresh carries
     them forward for untouched docs, so they must be REPLAYABLE:
       - is_keeper: doc is the canonical (min repo,path) of its sha group;
-      - passed_decontam: null unless keeper; True for every keeper when
-        no benchmark was supplied;
-      - passed_repetition: null unless keeper AND passed_decontam
-        (the repetition stage only ever saw decontam survivors);
+      - cluster_id: the near-dup cluster of a keeper (null for
+        non-keepers; null everywhere when the near-dup stage is off —
+        ``clusters`` None). A keeper survives near-dedup iff
+        cluster_id == doc_id;
+      - passed_decontam: null unless the doc SURVIVED dedup (exact
+        keeper, and near-dup representative when the stage is on); True
+        for every survivor when no benchmark was supplied;
+      - passed_repetition: null unless passed_decontam (the repetition
+        stage only ever saw decontam survivors);
       - sampled: null unless passed_repetition; else the deterministic
         per-stratum hash decision."""
     idx = ids.join(keeper_ids.withColumn("_k", F.lit(True)), "doc_id", "left")
+    if clusters is not None:
+        idx = idx.join(clusters.withColumnRenamed("cluster_id", "_cl"), "doc_id", "left")
+    else:
+        idx = idx.withColumn("_cl", F.lit(None).cast("long"))
     if contam_fail is not None:
         idx = idx.join(contam_fail.withColumn("_cf", F.lit(True)), "doc_id", "left")
     else:
@@ -286,8 +362,11 @@ def write_index(
     idx = idx.join(sampled_ids.withColumn("_sm", F.lit(True)), "doc_id", "left")
 
     is_k = F.coalesce(F.col("_k"), F.lit(False))
+    # the flag universe is the dedup SURVIVORS: exact keepers, further
+    # narrowed to cluster representatives when the near stage ran
+    survived = is_k if clusters is None else (is_k & (F.col("_cl") == F.col("doc_id")))
     passed_c = F.when(
-        is_k,
+        survived,
         F.lit(True) if not benchmark_used else ~F.coalesce(F.col("_cf"), F.lit(False)),
     )
     passed_r = F.when(passed_c, ~F.coalesce(F.col("_rf"), F.lit(False)))
@@ -300,6 +379,7 @@ def write_index(
             "lang",
             "_sha",
             is_k.alias("is_keeper"),
+            F.when(is_k, F.col("_cl")).alias("cluster_id"),
             passed_c.alias("passed_decontam"),
             passed_r.alias("passed_repetition"),
             samp.alias("sampled"),

@@ -69,6 +69,21 @@ def _escape_partition_value(value: str | None) -> str:
     )
 
 
+BANDS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("bucket", T.StringType()),
+    ]
+)
+
+PAIRS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_a", T.LongType()),
+        T.StructField("doc_b", T.LongType()),
+    ]
+)
+
 INDEX_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -77,6 +92,7 @@ INDEX_SCHEMA = T.StructType(
         T.StructField("lang", T.StringType()),
         T.StructField("_sha", T.StringType()),
         T.StructField("is_keeper", T.BooleanType()),
+        T.StructField("cluster_id", T.LongType()),
         T.StructField("passed_decontam", T.BooleanType()),
         T.StructField("passed_repetition", T.BooleanType()),
         T.StructField("sampled", T.BooleanType()),
@@ -215,15 +231,206 @@ def _recover_interrupted_swaps(out_dir: str) -> None:
                     shutil.rmtree(full)
                 else:
                     os.rename(full, live)
-    new = os.path.join(out_dir, "_index_new")
-    if os.path.exists(new):
-        shutil.rmtree(new)
-    old_idx = os.path.join(out_dir, "_index_old")
-    if os.path.exists(old_idx):
-        if os.path.exists(os.path.join(out_dir, "_index")):
-            shutil.rmtree(old_idx)
-        else:
-            os.rename(old_idx, os.path.join(out_dir, "_index"))
+    for base in ("_index", "_near/bands", "_near/pairs"):
+        live = os.path.join(out_dir, base)
+        new = live + "_new"
+        if os.path.exists(new):
+            shutil.rmtree(new)
+        old = live + "_old"
+        if os.path.exists(old):
+            if os.path.exists(live):
+                shutil.rmtree(old)
+            else:
+                os.rename(old, live)
+
+
+def _near_layer(
+    spark,
+    out_dir,
+    _persist,
+    _fetch_docs,
+    *,
+    idx0,
+    changed,
+    docs_new,
+    members,
+    new_keepers,
+    benchmark,
+    max_c,
+    max_r,
+    n,
+    rates,
+    default_rate,
+    near_thr,
+):
+    """Incremental near-dup maintenance (see the caller's comment for
+    the invariant chain). Returns (keeper_flags, recompute, vstar,
+    clusters_new, extra_univ, (bands1, pairs1))."""
+    from ..operators.dedup_text import minhash_band_buckets, verify_jaccard_pairs
+    from ..operators.graph import connected_components
+
+    old_keepers = idx0.filter(F.col("is_keeper")).select(
+        "doc_id", "repo", "path", "lang", "_sha", "cluster_id"
+    )
+    old_near = old_keepers.filter(F.col("cluster_id") == F.col("doc_id")).select("doc_id")
+
+    # A: old keepers whose stored bands/pairs are invalid
+    lost = members.select("doc_id").join(
+        new_keepers.select("doc_id"), "doc_id", "left_anti"
+    )
+    a_ids = _persist(
+        old_keepers.select("doc_id")
+        .join(changed.select("doc_id"), "doc_id", "left_semi")
+        .unionByName(old_keepers.select("doc_id").join(lost, "doc_id", "left_semi"))
+        .distinct()
+    )
+    valid_old = old_keepers.select("doc_id").join(a_ids, "doc_id", "left_anti")
+
+    # N: current keepers needing fresh signatures
+    n_ids = new_keepers.select("doc_id").join(valid_old, "doc_id", "left_anti")
+    n_changed = docs_new.join(n_ids, "doc_id", "left_semi")
+    n_missing = (
+        new_keepers.join(n_ids, "doc_id", "left_semi")
+        .join(docs_new.select("doc_id"), "doc_id", "left_anti")
+        .select("repo", "path")
+    )
+    n_docs = _persist(n_changed.unionByName(_fetch_docs(n_missing)))
+
+    bands0 = spark.read.schema(BANDS_SCHEMA).parquet(os.path.join(out_dir, "_near", "bands"))
+    pairs0 = spark.read.schema(PAIRS_SCHEMA).parquet(os.path.join(out_dir, "_near", "pairs"))
+    b_base = _persist(bands0.join(a_ids, "doc_id", "left_anti"))
+    new_bands = _persist(minhash_band_buckets(n_docs.select("doc_id", "text"), n=n))
+
+    # candidate pairs with >=1 endpoint in N: N x N via band self-join,
+    # N x untouched-keepers via a probe of the STORED buckets
+    x, y = new_bands.alias("x"), new_bands.alias("y")
+    cand_self = (
+        x.join(y, ["band", "bucket"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+    )
+    cand_old = (
+        new_bands.select(F.col("doc_id").alias("nd"), "band", "bucket")
+        .join(b_base.select(F.col("doc_id").alias("od"), "band", "bucket"), ["band", "bucket"])
+        .select(
+            F.least(F.col("nd"), F.col("od")).alias("doc_a"),
+            F.greatest(F.col("nd"), F.col("od")).alias("doc_b"),
+        )
+    )
+    cand = _persist(cand_self.unionByName(cand_old).distinct())
+
+    # verify against exact Jaccard — counterpart texts fetched by key
+    # (bucket-pruned; untouched keepers' current text IS their old text)
+    cp_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .join(n_docs.select("doc_id"), "doc_id", "left_anti")
+    )
+    cp_keys = old_keepers.join(cp_ids, "doc_id", "left_semi").select("repo", "path")
+    cp_docs = _persist(_fetch_docs(cp_keys))
+    verify_docs = n_docs.select("doc_id", "text").unionByName(
+        cp_docs.select("doc_id", "text")
+    )
+    p_new = _persist(
+        verify_jaccard_pairs(cand, verify_docs, n=n, threshold=near_thr).select(
+            "doc_a", "doc_b"
+        )
+    )
+    p_base = _persist(
+        pairs0.join(a_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_anti")
+        .join(a_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_anti")
+        .select("doc_a", "doc_b")
+    )
+    p1 = _persist(p_base.unionByName(p_new))
+
+    # V*: the only nodes whose component can change
+    t_nodes = (
+        a_ids.unionByName(n_ids)
+        .unionByName(p_new.select(F.col("doc_a").alias("doc_id")))
+        .unionByName(p_new.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    ac = (
+        idx0.join(t_nodes, "doc_id", "left_semi")
+        .filter(F.col("cluster_id").isNotNull())
+        .select("cluster_id")
+        .distinct()
+    )
+    cur_keepers = valid_old.unionByName(new_keepers.select("doc_id")).distinct()
+    in_ac = idx0.join(ac, "cluster_id", "left_semi").select("doc_id")
+    vstar = _persist(
+        cur_keepers.join(in_ac, "doc_id", "left_semi").unionByName(n_ids).distinct()
+    )
+    e_star = p1.join(
+        vstar.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi"
+    ).join(vstar.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+    cc = connected_components(e_star)
+    clusters_new = _persist(
+        vstar.join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left").select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+
+    # flag universe U = near-keepers among (affected sha groups ∪ V*)
+    mem_out_v = (
+        new_keepers.select("doc_id")
+        .join(vstar, "doc_id", "left_anti")
+        .join(old_near, "doc_id", "left_semi")
+    )
+    u_near = _persist(
+        clusters_new.filter(F.col("cluster_id") == F.col("doc_id"))
+        .select("doc_id")
+        .unionByName(mem_out_v)
+        .distinct()
+    )
+
+    # R: near-keepers whose flags cannot carry (changed text, or newly
+    # a near-keeper — either brand-new or promoted by a cluster change)
+    r_ids = _persist(
+        u_near.join(docs_new.select("doc_id"), "doc_id", "left_semi")
+        .unionByName(u_near.join(old_near, "doc_id", "left_anti"))
+        .distinct()
+    )
+    pool = n_docs.unionByName(cp_docs).unionByName(
+        docs_new.join(n_docs.select("doc_id"), "doc_id", "left_anti").join(
+            cp_docs.select("doc_id"), "doc_id", "left_anti"
+        )
+    )
+    r_have = pool.join(r_ids, "doc_id", "left_semi")
+    r_missing_keys = (
+        old_keepers.join(
+            r_ids.join(pool.select("doc_id"), "doc_id", "left_anti"),
+            "doc_id",
+            "left_semi",
+        ).select("repo", "path")
+    )
+    recompute = _persist(r_have.unionByName(_fetch_docs(r_missing_keys)))
+    new_flags = _doc_flags(recompute, benchmark, max_c, max_r, n, rates, default_rate)
+
+    prev_near_flags = idx0.filter(F.col("cluster_id") == F.col("doc_id")).select(
+        "doc_id", "_sha", "lang", "passed_decontam", "passed_repetition", "sampled"
+    )
+    carry = prev_near_flags.join(
+        u_near.join(r_ids, "doc_id", "left_anti"), "doc_id", "left_semi"
+    )
+    keeper_flags = _persist(
+        carry.unionByName(
+            recompute.select("doc_id", "_sha", "lang").join(new_flags, "doc_id")
+        )
+    )
+
+    # V* keepers outside the sha universe still need index rewrites
+    extra_univ = _persist(
+        old_keepers.select("doc_id", "repo", "path", "lang", "_sha")
+        .join(vstar, "doc_id", "left_semi")
+        .join(members.select("doc_id"), "doc_id", "left_anti")
+    )
+
+    bands1 = b_base.unionByName(new_bands)
+    pairs1 = p1
+    return keeper_flags, recompute, vstar, clusters_new, extra_univ, (bands1, pairs1)
 
 
 def refresh_training_mix(
@@ -336,47 +543,97 @@ def refresh_training_mix(
     ).drop("_k")
     new_keepers = _persist(new_keepers)
 
-    # 4. flag recompute set: keepers whose decisions cannot be carried —
-    #    changed content (text in docs_new) or newly promoted (text
-    #    fetched from the lake, again bucket-pruned)
-    prev_flags = idx0.filter(F.col("is_keeper")).select(
-        "doc_id", "passed_decontam", "passed_repetition", "sampled"
-    )
-    carried = (
-        new_keepers.join(docs_new.select("doc_id"), "doc_id", "left_anti")
-        .join(prev_flags, "doc_id", "left")
-    )
-    carry_ok = carried.filter(F.col("passed_decontam").isNotNull())
-    promoted = carried.filter(F.col("passed_decontam").isNull()).select(
-        "doc_id", "repo", "path", "lang", "_sha"
-    )
-    fetched = _persist(
-        _pruned_state_for_keys(spark, table, v1, promoted.select("repo", "path"))
-        .select(
-            F.xxhash64("repo", "path").alias("doc_id"),
-            "repo",
-            "path",
-            "lang",
-            F.col("content").alias("text"),
+    def _fetch_docs(keys: DataFrame) -> DataFrame:
+        """(doc_id, repo, path, lang, text, _sha) for keys, bucket-pruned."""
+        return (
+            _pruned_state_for_keys(spark, table, v1, keys)
+            .select(
+                F.xxhash64("repo", "path").alias("doc_id"),
+                "repo",
+                "path",
+                "lang",
+                F.col("content").alias("text"),
+            )
+            .withColumn("_sha", sha_col(F.col("text")))
         )
-        .withColumn("_sha", sha_col(F.col("text")))
-    )
-    changed_keepers = docs_new.join(
-        new_keepers.select("doc_id"), "doc_id", "left_semi"
-    )
-    recompute = _persist(changed_keepers.unionByName(fetched))
-    new_flags = _doc_flags(
-        recompute, benchmark, max_c, max_r, n, rates, default_rate
-    )
 
-    keeper_flags = _persist(
-        carry_ok.select(
-            "doc_id", "_sha", "lang",
-            "passed_decontam", "passed_repetition", "sampled",
-        ).unionByName(
-            recompute.select("doc_id", "_sha", "lang").join(new_flags, "doc_id")
+    near_thr = man.get("near_dup_threshold")
+    vstar = None          # near mode: doc ids whose cluster was re-evaluated
+    clusters_new = None   # near mode: (doc_id, cluster_id) for vstar nodes
+    extra_univ = None     # near mode: vstar keepers outside the sha universe
+    near_sidecars = None  # near mode: (bands1, pairs1) frames to stage
+    if near_thr is None:
+        # 4. flag recompute set: keepers whose decisions cannot be carried —
+        #    changed content (text in docs_new) or newly promoted (text
+        #    fetched from the lake, again bucket-pruned)
+        prev_flags = idx0.filter(F.col("is_keeper")).select(
+            "doc_id", "passed_decontam", "passed_repetition", "sampled"
         )
-    )
+        carried = (
+            new_keepers.join(docs_new.select("doc_id"), "doc_id", "left_anti")
+            .join(prev_flags, "doc_id", "left")
+        )
+        carry_ok = carried.filter(F.col("passed_decontam").isNotNull())
+        promoted = carried.filter(F.col("passed_decontam").isNull()).select(
+            "doc_id", "repo", "path", "lang", "_sha"
+        )
+        fetched = _persist(_fetch_docs(promoted.select("repo", "path")))
+        changed_keepers = docs_new.join(
+            new_keepers.select("doc_id"), "doc_id", "left_semi"
+        )
+        recompute = _persist(changed_keepers.unionByName(fetched))
+        new_flags = _doc_flags(
+            recompute, benchmark, max_c, max_r, n, rates, default_rate
+        )
+
+        keeper_flags = _persist(
+            carry_ok.select(
+                "doc_id", "_sha", "lang",
+                "passed_decontam", "passed_repetition", "sampled",
+            ).unionByName(
+                recompute.select("doc_id", "_sha", "lang").join(new_flags, "doc_id")
+            )
+        )
+    else:
+        # 4'. NEAR-DUP layer (manifest says the export ran one). The
+        # invariant chain, each step O(delta) against the stored
+        # sidecars — never re-shingling the corpus:
+        #   A  = old keepers whose bands/pairs are invalid (touched by
+        #        the feed, or lost exact-keeperhood);
+        #   N  = current keepers needing fresh signatures (touched, or
+        #        newly promoted to exact keeper);
+        #   candidates = bands(N) ⨝ (stored bands − A) ∪ bands(N)²;
+        #   P1 = (stored pairs − pairs touching A) ∪ verified new pairs
+        #        — EXACTLY the pair set a full export computes, because
+        #        bands/pairs are pure functions of the text;
+        #   V* = current keepers whose old cluster is touched ∪ N —
+        #        the only nodes whose component can change; re-cluster
+        #        the P1-subgraph over V*, carry every other cluster id.
+        (
+            keeper_flags,
+            recompute,
+            vstar,
+            clusters_new,
+            extra_univ,
+            near_sidecars,
+        ) = _near_layer(
+            spark,
+            out_dir,
+            _persist,
+            _fetch_docs,
+            idx0=idx0,
+            changed=changed,
+            docs_new=docs_new,
+            members=members,
+            new_keepers=new_keepers,
+            benchmark=benchmark,
+            max_c=max_c,
+            max_r=max_r,
+            n=n,
+            rates=rates,
+            default_rate=default_rate,
+            near_thr=near_thr,
+        )
 
     # 5. shard delta: every prior row of an affected sha group (or a
     #    changed key) goes; every sampled keeper of an affected group
@@ -385,11 +642,17 @@ def refresh_training_mix(
     shard0 = shard0.withColumn("doc_id", F.xxhash64("repo", "path"))
     # sha-based removal is complete on its own: a changed doc present in
     # the shard was live at v0, so its shard sha is in aff_shas already.
-    # Checkpointed: lazy re-evaluation after the partition swaps below
-    # would re-list rewritten dirs.
-    removals = _persist(
-        shard0.join(aff_shas, "_sha", "left_semi").select("doc_id").distinct()
-    )
+    # Near mode adds the V* docs — their cluster (hence near-keeper /
+    # sampled status) was re-evaluated; still-sampled ones re-enter via
+    # add_carry below, so over-removal is safe and under-removal is the
+    # only hazard. Checkpointed: lazy re-evaluation after the partition
+    # swaps below would re-list rewritten dirs.
+    removal_src = shard0.join(aff_shas, "_sha", "left_semi").select("doc_id")
+    if vstar is not None:
+        removal_src = removal_src.unionByName(
+            shard0.join(vstar, "doc_id", "left_semi").select("doc_id")
+        )
+    removals = _persist(removal_src.distinct())
 
     sampled_new = keeper_flags.filter(F.col("sampled")).select("doc_id")
     add_text = recompute.join(sampled_new, "doc_id", "left_semi").select(
@@ -466,26 +729,47 @@ def refresh_training_mix(
     untouched = idx0.join(changed.select("doc_id"), "doc_id", "left_anti").join(
         aff_shas, "_sha", "left_anti"
     )
+    if vstar is not None:
+        # V* rows rewrite too (their cluster — hence flags — changed)
+        untouched = untouched.join(vstar, "doc_id", "left_anti")
     # is_keeper for affected rows: membership in new_keepers, not a
     # flag heuristic — a keeper can legitimately have all-false flags
-    affected_rows = (
-        members.join(new_keepers.select("doc_id", F.lit(True).alias("is_keeper")), "doc_id", "left")
-        .withColumn("is_keeper", F.coalesce(F.col("is_keeper"), F.lit(False)))
-        .join(
-            keeper_flags.select(
-                "doc_id", "passed_decontam", "passed_repetition", "sampled"
-            ),
-            "doc_id",
-            "left",
+    aff_univ = members.join(
+        new_keepers.select("doc_id", F.lit(True).alias("is_keeper")), "doc_id", "left"
+    ).withColumn("is_keeper", F.coalesce(F.col("is_keeper"), F.lit(False)))
+    if extra_univ is not None:
+        aff_univ = aff_univ.unionByName(
+            extra_univ.withColumn("is_keeper", F.lit(True))
         )
+    affected_rows = aff_univ.join(
+        keeper_flags.select(
+            "doc_id", "passed_decontam", "passed_repetition", "sampled"
+        ),
+        "doc_id",
+        "left",
     )
+    if clusters_new is not None:
+        # cluster of an affected keeper: the re-clustered V* value, else
+        # the carried old cluster (keepers of affected sha groups whose
+        # component was untouched)
+        affected_rows = affected_rows.join(
+            clusters_new.withColumnRenamed("cluster_id", "_c_new"), "doc_id", "left"
+        ).join(
+            idx0.select("doc_id", F.col("cluster_id").alias("_c_old")), "doc_id", "left"
+        )
+        aff_cluster = F.when(
+            F.col("is_keeper"), F.coalesce(F.col("_c_new"), F.col("_c_old"), F.col("doc_id"))
+        )
+    else:
+        aff_cluster = F.lit(None).cast("long")
     idx1 = untouched.select(
         "doc_id", "repo", "path", "lang", "_sha",
-        "is_keeper", "passed_decontam", "passed_repetition", "sampled",
+        "is_keeper", "cluster_id", "passed_decontam", "passed_repetition", "sampled",
     ).unionByName(
         affected_rows.select(
             "doc_id", "repo", "path", "lang", "_sha",
-            "is_keeper", "passed_decontam", "passed_repetition", "sampled",
+            "is_keeper", aff_cluster.alias("cluster_id"),
+            "passed_decontam", "passed_repetition", "sampled",
         )
     )
     (
@@ -494,6 +778,20 @@ def refresh_training_mix(
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "_index_new"))
     )
+    if near_sidecars is not None:
+        bands1, pairs1 = near_sidecars
+        (
+            bands1.repartition(4)
+            .sortWithinPartitions("doc_id", "band")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "_near", "bands_new"))
+        )
+        (
+            pairs1.repartition(1)
+            .sortWithinPartitions("doc_a", "doc_b")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "_near", "pairs_new"))
+        )
     # aggregate from the DURABLY WRITTEN new index — never from a
     # cached frame whose lineage reaches the about-to-be-swapped dirs.
     # Explicit schema: an all-deleted lake writes an index with no
@@ -501,6 +799,9 @@ def refresh_training_mix(
     agg = spark.read.schema(INDEX_SCHEMA).parquet(os.path.join(out_dir, "_index_new")).agg(
         F.count(F.lit(1)).alias("state_rows"),
         F.sum(F.col("is_keeper").cast("long")).alias("keepers"),
+        F.sum(
+            (F.col("is_keeper") & (F.col("cluster_id") == F.col("doc_id"))).cast("long")
+        ).alias("near_keepers"),
         F.sum(F.coalesce(F.col("passed_decontam"), F.lit(False)).cast("long")).alias("pc"),
         F.sum(F.coalesce(F.col("passed_repetition"), F.lit(False)).cast("long")).alias("pr"),
         F.sum(F.coalesce(F.col("sampled"), F.lit(False)).cast("long")).alias("sm"),
@@ -511,6 +812,8 @@ def refresh_training_mix(
         "state_rows": int(agg["state_rows"] or 0),
         "after_exact_dedup": int(agg["keepers"] or 0),
     }
+    if near_thr is not None:
+        counts["after_near_dedup"] = int(agg["near_keepers"] or 0)
     if benchmark is not None:
         counts["after_decontamination"] = int(agg["pc"] or 0)
     counts["after_repetition_filter"] = int(agg["pr"] or 0)
@@ -553,6 +856,13 @@ def refresh_training_mix(
         os.path.join(out_dir, "_index"),
         os.path.join(out_dir, "_index_old"),
     )
+    if near_sidecars is not None:
+        for base in ("_near/bands", "_near/pairs"):
+            _swap_in(
+                os.path.join(out_dir, base + "_new"),
+                os.path.join(out_dir, base),
+                os.path.join(out_dir, base + "_old"),
+            )
 
     manifest = {
         **man,

@@ -459,3 +459,142 @@ def test_refresh_spans_maintenance_history(spark, tmp_path):
     assert manR["counts"] == manF["counts"]
     assert _shard_rows(spark, out) == _shard_rows(spark, outB)
     assert _index_rows(spark, out) == _index_rows(spark, outB)
+
+
+# --------------------------- near-dup mode ---------------------------
+
+BASE1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda omega sigma tau phi chi psi rho pip"
+BASE2 = "one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen"
+BASE3 = "red orange yellow green blue indigo violet cyan magenta umber ochre"
+
+
+def _near_seed(spark, tmp_path):
+    """Corpus with real near-dup structure: group1 = three tail-variants
+    of BASE1 (pairwise jaccard ~0.8), group2 = two variants of BASE2,
+    plus unrelated singletons on BASE3-like texts."""
+    table = SnapshotTable.create(str(tmp_path / "lake"), LAKE_BASE, n_buckets=8)
+    rows = [
+        _ev("insert", "p1.py", 1, f"{BASE1} mu\n"),
+        _ev("insert", "p2.py", 2, f"{BASE1} nu\n"),
+        _ev("insert", "p3.py", 3, f"{BASE1} xi\n"),
+        _ev("insert", "q1.py", 4, f"{BASE2} twenty\n", "go"),
+        _ev("insert", "q2.py", 5, f"{BASE2} thirty\n", "go"),
+        _ev("insert", "s1.py", 6, f"{BASE3} one\n", "java"),
+        _ev("insert", "s2.py", 7, "completely different words entirely unique tokens here now then\n", "java"),
+        _ev("insert", "s3.py", 8, "def standalone():\n    return something_else entirely_nine\n"),
+    ]
+    apply_changes(spark, table, _batch(spark, rows), 0)
+    return table
+
+
+def test_near_dup_export_clusters_and_sidecars(spark, tmp_path):
+    import os
+
+    table = _near_seed(spark, tmp_path)
+    out = str(tmp_path / "s")
+    man = export_training_mix(
+        spark, table, out, rates=RATES, default_rate=100, near_dup_threshold=0.5
+    )
+    # 8 docs, no exact dups; near-dedup collapses group1 (3) and group2
+    # (2) to one rep each: 8 -> 5 survivors
+    assert man["counts"]["after_exact_dedup"] == 8
+    assert man["counts"]["after_near_dedup"] == 5
+    assert man["near_dup_threshold"] == 0.5
+    idx = {r["path"]: r for r in spark.read.parquet(f"{out}/_index").collect()}
+    p_cluster = {idx[p]["cluster_id"] for p in ("p1.py", "p2.py", "p3.py")}
+    assert len(p_cluster) == 1  # one transitive cluster
+    assert idx["s1.py"]["cluster_id"] == idx["s1.py"]["doc_id"]  # singleton
+    # the shard holds only cluster representatives
+    shard_paths = {r["path"] for r in spark.read.parquet(f"{out}/data").collect()}
+    assert len(shard_paths) == 5
+    assert os.path.isdir(f"{out}/_near/bands") and os.path.isdir(f"{out}/_near/pairs")
+
+
+def test_near_refresh_equals_full_export(spark, tmp_path):
+    """The capstone equivalence, near-dup mode: cluster SPLITS (a rep
+    deleted, a member updated out of its cluster), cluster MERGES (a
+    doc updated into another group's neighborhood), joins of brand-new
+    docs, and singleton deletions — refresh == full re-export, twice."""
+    table = _near_seed(spark, tmp_path)
+    out = str(tmp_path / "s")
+    export_training_mix(
+        spark, table, out, rates=RATES, default_rate=100, near_dup_threshold=0.5
+    )
+
+    rows = [
+        _ev("delete", "p1.py", 100, None),                    # group1 shrinks (maybe rep death)
+        _ev("update", "p2.py", 101, "now utterly unrelated text with brand new tokens only\n"),  # leaves group1
+        _ev("update", "q2.py", 102, f"{BASE1} omicron\n", "go"),  # q2 MERGES into group1's cluster
+        _ev("insert", "p4.py", 103, f"{BASE1} pi\n"),         # brand-new join
+        _ev("delete", "s3.py", 104, None),                    # singleton death
+    ]
+    apply_changes(spark, table, _batch(spark, rows), 1)
+
+    manR = refresh_training_mix(spark, table, out)
+    outB = str(tmp_path / "full")
+    manF = export_training_mix(
+        spark, table, outB, rates=RATES, default_rate=100, near_dup_threshold=0.5
+    )
+    assert manR["counts"] == manF["counts"]
+    assert _shard_rows(spark, out) == _shard_rows(spark, outB)
+    assert _index_rows(spark, out) == _index_rows(spark, outB)
+    # sidecars stay in lockstep too (the NEXT refresh depends on them)
+    assert _rows(spark, f"{out}/_near/pairs") == _rows(spark, f"{outB}/_near/pairs")
+    assert _rows(spark, f"{out}/_near/bands") == _rows(spark, f"{outB}/_near/bands")
+
+    # second delta on the refreshed state: the rep of the merged cluster
+    # changes again and a split happens via bridge-node death
+    rows = [
+        _ev("delete", "p3.py", 200, None),
+        _ev("update", "s1.py", 201, f"{BASE2} forty\n", "java"),  # joins q1's base family
+        _ev("insert", "r1.py", 202, "yet another standalone document body here entirely\n", "rust"),
+    ]
+    apply_changes(spark, table, _batch(spark, rows), 2)
+    manR2 = refresh_training_mix(spark, table, out)
+    outC = str(tmp_path / "full2")
+    manF2 = export_training_mix(
+        spark, table, outC, rates=RATES, default_rate=100, near_dup_threshold=0.5
+    )
+    assert manR2["counts"] == manF2["counts"]
+    assert _shard_rows(spark, out) == _shard_rows(spark, outC)
+    assert _index_rows(spark, out) == _index_rows(spark, outC)
+    assert _rows(spark, f"{out}/_near/pairs") == _rows(spark, f"{outC}/_near/pairs")
+
+    # and a no-op refresh stays a no-op
+    again = refresh_training_mix(spark, table, out)
+    assert again["snapshot_version"] == manR2["snapshot_version"]
+
+
+def _rows(spark, path):
+    return {tuple(r) for r in spark.read.parquet(path).collect()}
+
+
+def test_near_refresh_with_sampling_and_benchmark(spark, tmp_path):
+    """Near mode composed with the decontamination and sampling stages:
+    flags live on near-keepers; promotion into near-keeperhood must
+    recompute flags, carriage must not."""
+    table = _near_seed(spark, tmp_path)
+    bench = spark.createDataFrame(
+        [(0, f"{BASE2} twenty\n")], "doc_id long, text string"
+    )
+    out = str(tmp_path / "s")
+    export_training_mix(
+        spark, table, out, rates={"python": 100, "go": 100, "java": 50},
+        default_rate=50, near_dup_threshold=0.5,
+        benchmark=bench, max_contamination=0.4,
+    )
+    rows = [
+        _ev("delete", "q1.py", 100, None),   # possibly the contaminated rep dies
+        _ev("insert", "p4.py", 101, f"{BASE1} rho\n"),
+    ]
+    apply_changes(spark, table, _batch(spark, rows), 1)
+    manR = refresh_training_mix(spark, table, out, benchmark=bench)
+    outB = str(tmp_path / "full")
+    manF = export_training_mix(
+        spark, table, outB, rates={"python": 100, "go": 100, "java": 50},
+        default_rate=50, near_dup_threshold=0.5,
+        benchmark=bench, max_contamination=0.4,
+    )
+    assert manR["counts"] == manF["counts"]
+    assert _shard_rows(spark, out) == _shard_rows(spark, outB)
+    assert _index_rows(spark, out) == _index_rows(spark, outB)
