@@ -492,6 +492,17 @@ def refresh_training_mix(
 
     idx0 = spark.read.schema(INDEX_SCHEMA).parquet(os.path.join(out_dir, "_index"))
 
+    import time as _time
+
+    _timing = os.environ.get("SDP_REFRESH_TIMING") == "1"
+    _t_last = [_time.time()]
+
+    def _mark(label: str) -> None:
+        if _timing:
+            now = _time.time()
+            print(f"REFRESH-PHASE {label}: {now - _t_last[0]:.2f}s", flush=True)
+            _t_last[0] = now
+
     def _persist(frame: DataFrame) -> DataFrame:
         """Materialize AND truncate lineage (eager localCheckpoint, disk-
         backed). Plain persist() is wrong here twice over: (a) the frames
@@ -510,6 +521,7 @@ def refresh_training_mix(
         .withColumn("doc_id", F.xxhash64("repo", "path"))
     )
 
+    _mark("change-feed")
     # 2. their CURRENT rows, bucket-pruned (deleted keys vanish here)
     docs_new = _persist(
         _pruned_state_for_keys(spark, table, v1, changed)
@@ -523,6 +535,7 @@ def refresh_training_mix(
         .withColumn("_sha", sha_col(F.col("text")))
     )
 
+    _mark("docs-new")
     # 3. updated id-level universe + the sha groups whose keeper can move
     ids1 = idx0.join(changed.select("doc_id"), "doc_id", "left_anti").select(
         "doc_id", "repo", "path", "lang", "_sha"
@@ -557,6 +570,7 @@ def refresh_training_mix(
             .withColumn("_sha", sha_col(F.col("text")))
         )
 
+    _mark("exact-layer")
     near_thr = man.get("near_dup_threshold")
     vstar = None          # near mode: doc ids whose cluster was re-evaluated
     clusters_new = None   # near mode: (doc_id, cluster_id) for vstar nodes
@@ -635,6 +649,7 @@ def refresh_training_mix(
             near_thr=near_thr,
         )
 
+    _mark("flags-or-near-layer")
     # 5. shard delta: every prior row of an affected sha group (or a
     #    changed key) goes; every sampled keeper of an affected group
     #    comes back with its current text
@@ -666,6 +681,7 @@ def refresh_training_mix(
     )
     additions = _persist(add_text.unionByName(add_carry))
 
+    _mark("shard-delta")
     langs = {
         # partitionBy lands null, '' AND the literal string
         # '__HIVE_DEFAULT_PARTITION__' all in the default partition dir
@@ -725,6 +741,7 @@ def refresh_training_mix(
             )
         )
 
+    _mark("partition-staging")
     # new index + manifest (counts from id-level aggregates)
     untouched = idx0.join(changed.select("doc_id"), "doc_id", "left_anti").join(
         aff_shas, "_sha", "left_anti"
@@ -792,6 +809,7 @@ def refresh_training_mix(
             .write.mode("overwrite")
             .parquet(os.path.join(out_dir, "_near", "pairs_new"))
         )
+    _mark("index-write")
     # aggregate from the DURABLY WRITTEN new index — never from a
     # cached frame whose lineage reaches the about-to-be-swapped dirs.
     # Explicit schema: an all-deleted lake writes an index with no
