@@ -188,16 +188,38 @@ def export_training_mix(
         near_bands = None
         near_pairs = None
         if near_dup_threshold is not None:
-            from ..operators.dedup_text import minhash_band_buckets, minhash_lsh_pairs
+            from ..operators.dedup_text import minhash_band_buckets, verify_jaccard_pairs
             from ..operators.graph import connected_components
 
             near_bands = _persist(
                 minhash_band_buckets(deduped.select("doc_id", "text"), n=n)
             )
             near_bands.count()
+            # candidates from the ALREADY-computed buckets (running
+            # minhash_lsh_pairs here would re-shingle and re-MinHash the
+            # whole corpus a second time), verified against only the
+            # candidate docs' shingle sets — identical output, half the
+            # corpus passes, candidate-sized verify
+            x, y = near_bands.alias("x"), near_bands.alias("y")
+            cand = (
+                x.join(y, ["band", "bucket"])
+                .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+                .select(
+                    F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+                )
+                .distinct()
+            )
+            cand_ids = (
+                cand.select(F.col("doc_a").alias("doc_id"))
+                .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+                .distinct()
+            )
+            verify_docs = deduped.select("doc_id", "text").join(
+                cand_ids, "doc_id", "left_semi"
+            )
             near_pairs = _persist(
-                minhash_lsh_pairs(
-                    deduped.select("doc_id", "text"), n=n, threshold=near_dup_threshold
+                verify_jaccard_pairs(
+                    cand, verify_docs, n=n, threshold=near_dup_threshold
                 ).select("doc_a", "doc_b")
             )
             near_pairs.count()

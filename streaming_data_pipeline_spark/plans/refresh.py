@@ -317,7 +317,15 @@ def _near_layer(
             F.greatest(F.col("nd"), F.col("od")).alias("doc_b"),
         )
     )
-    cand = _persist(cand_self.unionByName(cand_old).distinct())
+    # doc_a != doc_b: in a clean run N and the stored buckets are
+    # disjoint, but a crash-recovery rerun (sidecars already swapped,
+    # index not yet) legitimately sees N's bands on BOTH sides — a
+    # self-pair would verify at jaccard 1.0 straight into the sidecar
+    cand = _persist(
+        cand_self.unionByName(cand_old)
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .distinct()
+    )
 
     # verify against exact Jaccard — counterpart texts fetched by key
     # (bucket-pruned; untouched keepers' current text IS their old text)
@@ -428,8 +436,11 @@ def _near_layer(
         .join(members.select("doc_id"), "doc_id", "left_anti")
     )
 
-    bands1 = b_base.unionByName(new_bands)
-    pairs1 = p1
+    # distinct: a crash-recovery rerun over already-swapped sidecars
+    # re-adds N's bands (and re-found pairs) that the swapped files
+    # already carry — the union must converge, not accumulate
+    bands1 = b_base.unionByName(new_bands).distinct()
+    pairs1 = p1.distinct()
     return keeper_flags, recompute, vstar, clusters_new, extra_univ, (bands1, pairs1)
 
 
@@ -869,11 +880,14 @@ def refresh_training_mix(
             shutil.rmtree(dest, ignore_errors=True)
         else:
             _swap_in(tmp, dest, os.path.join(data, f"_old_lang={seg}"))
-    _swap_in(
-        os.path.join(out_dir, "_index_new"),
-        os.path.join(out_dir, "_index"),
-        os.path.join(out_dir, "_index_old"),
-    )
+    # SIDECARS BEFORE THE INDEX: a crash-recovery rerun derives the
+    # invalidation set A from the live index, so the index must still be
+    # v0 until the sidecars landed. With this order every crash window
+    # re-runs idempotently: v1 sidecars + v0 index converge because
+    # anti-A eviction is a no-op on already-evicted rows and the
+    # distinct unions absorb re-added bands/pairs (the reverse order
+    # left a demoted keeper's stale bands uneivctable forever — its
+    # v1 index row says is_keeper=false, so A never names it).
     if near_sidecars is not None:
         for base in ("_near/bands", "_near/pairs"):
             _swap_in(
@@ -881,6 +895,11 @@ def refresh_training_mix(
                 os.path.join(out_dir, base),
                 os.path.join(out_dir, base + "_old"),
             )
+    _swap_in(
+        os.path.join(out_dir, "_index_new"),
+        os.path.join(out_dir, "_index"),
+        os.path.join(out_dir, "_index_old"),
+    )
 
     manifest = {
         **man,

@@ -598,3 +598,61 @@ def test_near_refresh_with_sampling_and_benchmark(spark, tmp_path):
     assert manR["counts"] == manF["counts"]
     assert _shard_rows(spark, out) == _shard_rows(spark, outB)
     assert _index_rows(spark, out) == _index_rows(spark, outB)
+
+
+def test_near_refresh_recovers_from_torn_sidecar_swap(spark, tmp_path):
+    """Crash windows between the sidecar swaps and the index swap must
+    re-run idempotently: v1 sidecars + v0 index (and the half-swapped
+    bands-only window) both converge to the same state as an untorn
+    refresh — incl. the demoted-keeper case where the reverse swap
+    order lost eviction information forever."""
+    import shutil
+
+    table = _near_seed(spark, tmp_path)
+    out = str(tmp_path / "s")
+    export_training_mix(
+        spark, table, out, rates=RATES, default_rate=100, near_dup_threshold=0.5
+    )
+    v0_backup = str(tmp_path / "backup")
+    shutil.copytree(out, v0_backup)
+
+    # the delta includes an exact-keeper DEMOTION: a smaller-key
+    # duplicate of p1's content steals its keeperhood
+    rows = [
+        _ev("insert", "a0.py", 100, f"{BASE1} mu\n"),  # exact dup of p1, smaller key
+        _ev("update", "q2.py", 101, f"{BASE2} fifty\n", "go"),
+        _ev("delete", "s3.py", 102, None),
+    ]
+    apply_changes(spark, table, _batch(spark, rows), 1)
+    refresh_training_mix(spark, table, out)
+
+    def rows_of(p):
+        return {tuple(r) for r in spark.read.parquet(p).collect()}
+
+    want_pairs = rows_of(f"{out}/_near/pairs")
+    want_bands = rows_of(f"{out}/_near/bands")
+    want_idx = _index_rows(spark, out)
+    want_shard = _shard_rows(spark, out)
+
+    def torn(keep_v1):
+        """Rebuild the crash state: v1 artifacts for `keep_v1`, v0 for
+        everything else (index, manifest, remaining sidecars)."""
+        d = str(tmp_path / f"torn_{'_'.join(s.replace('/', '-') for s in keep_v1)}")
+        shutil.copytree(v0_backup, d)
+        for base in keep_v1:
+            shutil.rmtree(f"{d}/{base}")
+            shutil.copytree(f"{out}/{base}", f"{d}/{base}")
+        # data partitions swap before metadata — model them as already v1
+        shutil.rmtree(f"{d}/data")
+        shutil.copytree(f"{out}/data", f"{d}/data")
+        return d
+
+    # window 1: both sidecars swapped, index not yet
+    # window 2: only the bands sidecar swapped
+    for keep in (["_near/bands", "_near/pairs"], ["_near/bands"]):
+        d = torn(keep)
+        refresh_training_mix(spark, table, d)
+        assert rows_of(f"{d}/_near/pairs") == want_pairs, keep
+        assert rows_of(f"{d}/_near/bands") == want_bands, keep
+        assert _index_rows(spark, d) == want_idx, keep
+        assert _shard_rows(spark, d) == want_shard, keep
