@@ -472,6 +472,57 @@ def q_dedup_clusters(spark, sf_dir):
     return assign_clusters(docs, pairs)
 
 
+def q_export_near_dedup(spark, sf_dir):
+    """Grades the INTEGRATED near-dup export composition (VERDICT r3 #3):
+    exact dedup → MinHash-LSH candidate pairs → exact-Jaccard verify →
+    transitive clusters → representative per cluster, exactly as
+    export_training_mix runs it (and as the incremental refresh
+    maintains it). The documents corpus is loaded into a real snapshot
+    lake with path = zero-padded doc_id, so exact-keeper selection
+    (min (repo, path)) and the portable cluster label (min member
+    doc_id) are both oracle-expressible. Returns one row per surviving
+    exact keeper: (doc_id, lang, cluster). The DuckDB twin recomputes
+    uncapped exact-Jaccard pairs + a recursive-CTE closure — the pair
+    graphs agree because the verify stage is exact (no false positives)
+    and LSH recall at k=32/b=8, τ=0.5 is 1.0 on the driver corpora
+    (deterministic given the fixed seed; the sha-twin precedent)."""
+    import atexit
+
+    from streaming_data_pipeline_spark.plans.export import export_training_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.select(
+        F.lit("insert").alias("op"),
+        F.lit("r").alias("repo"),
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("path"),
+        F.concat(F.lit("c"), F.col("doc_id").cast("string")).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+        F.col("doc_id").alias("lsn"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(None).cast("map<string,string>").alias("payload"),
+    )
+    tmp = tempfile.mkdtemp(prefix="sdp_lake_nd_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    table = SnapshotTable.create(f"{tmp}/lake", LAKE_BASE, n_buckets=16)
+    apply_changes(spark, table, ev, epoch=0)
+    export_training_mix(
+        spark, table, f"{tmp}/mix", rates={}, default_rate=100, near_dup_threshold=0.5
+    )
+    member = (
+        spark.read.parquet(f"{tmp}/mix/_index")
+        .filter("is_keeper")
+        .select(
+            F.col("cluster_id").alias("_cl"),
+            F.col("path").cast("long").alias("doc_id"),
+            "lang",
+        )
+    )
+    label = member.groupBy("_cl").agg(F.min("doc_id").alias("cluster"))
+    out = member.join(label, "_cl").select("doc_id", "lang", "cluster")
+    return out.localCheckpoint(eager=True)
+
+
 def q_text_quality(spark, sf_dir):
     return text.quality_scores(_t(spark, sf_dir, "documents")).withColumn(
         "n_tokens", F.col("n_tokens").cast("long")
@@ -702,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "export_near_dedup": q_export_near_dedup,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_lsh_sha": q_dedup_minhash_lsh_sha,
         "dedup_simhash": q_dedup_simhash,
@@ -1064,6 +1116,43 @@ def oracle_sql() -> dict[str, str]:
             cid AS (SELECT s, least(s, min(d)) AS cluster_id FROM reach GROUP BY s)
             SELECT doc_id, coalesce(cid.cluster_id, doc_id) AS cluster_id
             FROM documents LEFT JOIN cid ON cid.s = documents.doc_id
+        """,
+        # the integrated near-dup export composition: exact dedup keeps
+        # min-doc_id per content sha (path encodes doc_id), then exact
+        # Jaccard pairs (UNCAPPED — the export verifies candidates
+        # against full shingle sets) close into components; cluster =
+        # min member id, a pure function of membership
+        "export_near_dedup": f"""
+            WITH RECURSIVE
+            kp AS (
+              SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                         PARTITION BY coalesce(sha256(text), '') ORDER BY doc_id
+                       ) AS rn
+                FROM documents) WHERE rn = 1),
+            {_shingles_sql("toks", "sh", where=" WHERE doc_id IN (SELECT doc_id FROM kp)")},
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM sh a
+              JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT doc_a, doc_b FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5),
+            edges AS (
+              SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+            reach(s, d) AS (
+              SELECT s, d FROM edges
+              UNION
+              SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+            cid AS (SELECT s, least(s, min(d)) AS cluster FROM reach GROUP BY s)
+            SELECT kp.doc_id, kp.lang, coalesce(cid.cluster, kp.doc_id) AS cluster
+            FROM kp LEFT JOIN cid ON cid.s = kp.doc_id
         """,
         "dedup_minhash_lsh_sha": f"""
             WITH {_shingles_sql("toks", "sh")},

@@ -95,6 +95,21 @@ def shard_repartition(df: DataFrame, file_groups: int, lang_col) -> DataFrame:
     return df.repartition(n, lang_col, shard_file_group(file_groups))
 
 
+def index_repartition(df: DataFrame, file_groups: int, id_col: str = "doc_id") -> DataFrame:
+    """The ONE shuffle spec for the O(corpus) sidecar writes (`_index`,
+    `_near/bands`, `_near/pairs`), shared by export and refresh: the
+    same deterministic G-way hash-group fan-out as
+    :func:`shard_repartition`. These datasets scale with the corpus
+    (one row per live doc / per keeper×band) but previously funneled
+    through ≤4 fixed writer tasks — the same single-digit-writer class
+    that capped shard writes before r3. Group membership is a pure hash
+    of the id and rows are sorted within files, so the layout stays
+    byte-reproducible across export↔refresh; the explicit large
+    partition count stops AQE re-coalescing (see _SHARD_WRITE_HEADROOM)."""
+    n = file_groups * _SHARD_WRITE_HEADROOM
+    return df.repartition(n, F.pmod(F.xxhash64(F.col(id_col)), F.lit(file_groups)))
+
+
 def export_training_mix(
     spark: SparkSession,
     table: SnapshotTable,
@@ -305,19 +320,21 @@ def export_training_mix(
             benchmark_used=benchmark is not None,
             dest=os.path.join(out_dir, "_index"),
             clusters=clusters,
+            file_groups=file_groups,
         )
         if near_dup_threshold is not None:
             # the refresh substrate: stored buckets (probe target for
             # changed docs) + the verified pair graph (edges to carry /
-            # invalidate). Sorted, fixed-width layout like the index.
+            # invalidate). Sorted, G-way deterministic layout like the
+            # index — bands are O(keepers × bands), pairs O(edges).
             (
-                near_bands.repartition(4)
+                index_repartition(near_bands, file_groups, "doc_id")
                 .sortWithinPartitions("doc_id", "band")
                 .write.mode("overwrite")
                 .parquet(os.path.join(out_dir, "_near", "bands"))
             )
             (
-                near_pairs.repartition(1)
+                index_repartition(near_pairs, file_groups, "doc_a")
                 .sortWithinPartitions("doc_a", "doc_b")
                 .write.mode("overwrite")
                 .parquet(os.path.join(out_dir, "_near", "pairs"))
@@ -353,6 +370,7 @@ def write_index(
     benchmark_used: bool,
     dest: str,
     clusters: DataFrame | None = None,
+    file_groups: int = 4,
 ) -> None:
     """Write the curation index: (doc_id, repo, path, lang, _sha,
     is_keeper, cluster_id, passed_decontam, passed_repetition, sampled).
@@ -406,7 +424,7 @@ def write_index(
             passed_r.alias("passed_repetition"),
             samp.alias("sampled"),
         )
-        .repartition(4)
+        .transform(lambda d: index_repartition(d, file_groups, "doc_id"))
         .sortWithinPartitions("doc_id")
         .write.mode("overwrite")
         .parquet(dest)

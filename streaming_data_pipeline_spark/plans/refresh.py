@@ -39,7 +39,7 @@ from ..operators.curation import (
     hash_stratified_sample,
     repetition_score,
 )
-from .export import SHARD_SCHEMA, sha_col, shard_repartition, write_index
+from .export import SHARD_SCHEMA, index_repartition, sha_col, shard_repartition, write_index
 from .lake import SnapshotTable, _atomic_write_json
 
 # Verbatim port of Spark's ExternalCatalogUtils.escapePathName character
@@ -800,8 +800,11 @@ def refresh_training_mix(
             "passed_decontam", "passed_repetition", "sampled",
         )
     )
+    # the G-way index_repartition spec is shared with the export so a
+    # refreshed _index / _near reproduces the full export's file
+    # grouping exactly (refresh==export is pinned byte-level)
     (
-        idx1.repartition(4)
+        index_repartition(idx1, file_groups, "doc_id")
         .sortWithinPartitions("doc_id")
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "_index_new"))
@@ -809,13 +812,13 @@ def refresh_training_mix(
     if near_sidecars is not None:
         bands1, pairs1 = near_sidecars
         (
-            bands1.repartition(4)
+            index_repartition(bands1, file_groups, "doc_id")
             .sortWithinPartitions("doc_id", "band")
             .write.mode("overwrite")
             .parquet(os.path.join(out_dir, "_near", "bands_new"))
         )
         (
-            pairs1.repartition(1)
+            index_repartition(pairs1, file_groups, "doc_a")
             .sortWithinPartitions("doc_a", "doc_b")
             .write.mode("overwrite")
             .parquet(os.path.join(out_dir, "_near", "pairs_new"))
