@@ -226,6 +226,30 @@ def q_change_feed(spark, sf_dir):
     return feed.localCheckpoint(eager=True)
 
 
+def q_rollback_inverse_feed(spark, sf_dir):
+    """Feed-visible rollback as a graded row (VERDICT r3 #5): after the
+    second epoch lands, `rollback(v0, spark)` records its KEY-LEVEL
+    INVERSE as a changelog sidecar — for every key the rolled-back epoch
+    delivered, the restored state AT v0 (the g0 LWW row, tombstones
+    included), or a retraction tombstone carrying the key's retracted
+    lsn when the key did not exist at v0 at all. The feed across the
+    rollback must deliver exactly that inverse and nothing else (the
+    republished old data files are never re-emitted)."""
+    table, v0 = _two_epoch_lake(spark, sf_dir)
+    v1 = table.current_version()
+    v2 = table.rollback(v0, spark)
+    feed = table.changes_between(spark, v1, v2).select(
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        F.sha2(F.col("content"), 256).alias("content_sha"),
+        "lsn",
+        F.col("_deleted").alias("deleted"),
+    )
+    return feed.localCheckpoint(eager=True)
+
+
 def q_cdc_epoch_metrics(spark, sf_dir):
     changes = changes_from_events(_t(spark, sf_dir, "events"))
     valid_pred = (
@@ -738,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "post_compaction_state": q_post_compaction_state,
         "time_travel_state": q_time_travel_state,
         "change_feed": q_change_feed,
+        "rollback_inverse_feed": q_rollback_inverse_feed,
         "cdc_epoch_metrics": q_cdc_epoch_metrics,
         "cdc_health": q_cdc_health,
         "transform_enrich": q_transform_enrich,
@@ -918,6 +943,30 @@ def oracle_sql() -> dict[str, str]:
                    lsn, (op = 'delete') AS deleted
             FROM changes
             WHERE {_VALID_SQL} AND ((lsn % 2) + 2) % 2 = 1
+        """,
+        # the rollback's key-level inverse: for every key the rolled-back
+        # (odd-lsn) epoch delivered, the g0 (even-lsn) LWW state — row
+        # values verbatim, deletes as tombstones — or, for keys born in
+        # the rolled-back epoch, a retraction tombstone at the key's
+        # retracted (max odd) lsn with every non-key attribute null
+        "rollback_inverse_feed": f"""
+            {_CHANGES_CTE},
+            valid0 AS (SELECT * FROM changes
+                       WHERE {_VALID_SQL} AND ((lsn % 2) + 2) % 2 = 0),
+            lww0 AS (SELECT *, row_number() OVER (
+                       PARTITION BY repo, path
+                       ORDER BY lsn DESC, commit DESC) AS rn FROM valid0),
+            state0 AS (SELECT * FROM lww0 WHERE rn = 1),
+            g1keys AS (SELECT repo, path, max(lsn) AS retracted_lsn
+                       FROM changes
+                       WHERE {_VALID_SQL} AND ((lsn % 2) + 2) % 2 = 1
+                       GROUP BY repo, path)
+            SELECT k.repo, k.path, s.commit, s.lang,
+                   sha256(s.content) AS content_sha,
+                   coalesce(s.lsn, k.retracted_lsn) AS lsn,
+                   coalesce(s.op = 'delete', true) AS deleted
+            FROM g1keys k LEFT JOIN state0 s
+              ON k.repo = s.repo AND k.path = s.path
         """,
         # deliberately IDENTICAL to cdc_final_state's oracle: the Spark
         # side applies in three MOR epochs then compacts, and compaction

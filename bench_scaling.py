@@ -89,11 +89,40 @@ finally:
 """
 
 
-def run(cpus: int, n_events: int, wal: str) -> dict:
-    repo = os.path.dirname(os.path.abspath(__file__))
-    code = WORKER % {
-        "repo": repo, "cpus": cpus, "n_events": n_events, "epochs": EPOCHS, "wal": wal,
-    }
+# Hardware-ceiling control (VERDICT r3 #6): pure-JVM busy compute — a
+# codegen'd xxhash64 chain over spark.range, no shuffle beyond a 1-row
+# agg, no IO — run at the same two parallelism levels IN THE SAME
+# WINDOW as the engine pairs. Whatever efficiency THIS job loses N→4N
+# is the box (SMT siblings, shared caches, JVM/GC threads), not the
+# engine; the honest engine number is eff_engine / eff_ceiling.
+CEILING_WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, %(repo)r)
+os.environ["SPARK_GRAFT_CPUS"] = str(%(cpus)d)
+os.environ["SPARK_GRAFT_DRIVER_MEM"] = "8g"
+from pyspark.sql import functions as F
+from streaming_data_pipeline_spark.session import get_spark
+CPUS = %(cpus)d
+ROWS = %(rows)d
+spark = get_spark(f"ceil-{CPUS}", shuffle_partitions=CPUS * 2)
+
+def job():
+    h = F.xxhash64("id")
+    for _ in range(7):
+        h = F.xxhash64(h)
+    return (
+        spark.range(0, ROWS, 1, CPUS * 4)
+        .select(h.alias("h")).agg(F.max("h")).collect()[0][0]  # max: no ANSI long overflow
+    )
+
+job()  # warm: codegen + JIT excluded, like the engine workers
+t0 = time.time(); job(); dt = time.time() - t0
+print("RESULT " + json.dumps({"cpus": CPUS, "sec": round(dt, 3),
+                              "rows_per_sec": round(ROWS / dt, 1)}))
+"""
+
+
+def _run_worker(code: str, cpus: int) -> dict:
     p = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
     )
@@ -103,12 +132,27 @@ def run(cpus: int, n_events: int, wal: str) -> dict:
     raise RuntimeError(f"worker {cpus} failed:\n{p.stdout[-2000:]}\n{p.stderr[-3000:]}")
 
 
+def run(cpus: int, n_events: int, wal: str) -> dict:
+    repo = os.path.dirname(os.path.abspath(__file__))
+    code = WORKER % {
+        "repo": repo, "cpus": cpus, "n_events": n_events, "epochs": EPOCHS, "wal": wal,
+    }
+    return _run_worker(code, cpus)
+
+
+def run_ceiling(cpus: int, rows: int) -> dict:
+    repo = os.path.dirname(os.path.abspath(__file__))
+    return _run_worker(CEILING_WORKER % {"repo": repo, "cpus": cpus, "rows": rows}, cpus)
+
+
 def main() -> None:
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
     n_cores = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    ceil_rows = int(os.environ.get("SPARK_GRAFT_CEILING_ROWS", "400000000"))
     wal = tempfile.mkdtemp(prefix="sdp_scale_wal_", dir="/dev/shm")
     runs: dict[int, list[dict]] = {n_cores: [], 4 * n_cores: []}
+    ceil_runs: dict[int, list[dict]] = {n_cores: [], 4 * n_cores: []}
     try:
         for i in range(repeats):
             for cpus in (n_cores, 4 * n_cores):
@@ -121,6 +165,19 @@ def main() -> None:
                     f"run {i} local[{cpus}]: {r['sec']}s ({r['events_per_sec']}/s)",
                     flush=True,
                 )
+            # ceiling control IN THE SAME WINDOW as this repeat's engine
+            # pair — a control measured in a different load regime says
+            # nothing about what the box cost the engine here
+            for cpus in (n_cores, 4 * n_cores):
+                os.system("sync")
+                time.sleep(5)
+                c = run_ceiling(cpus, ceil_rows)
+                ceil_runs[cpus].append(c)
+                print(
+                    f"run {i} ceiling local[{cpus}]: {c['sec']}s "
+                    f"({c['rows_per_sec']}/s)",
+                    flush=True,
+                )
     finally:
         shutil.rmtree(wal, ignore_errors=True)
 
@@ -128,12 +185,18 @@ def main() -> None:
     best_4n = max(runs[4 * n_cores], key=lambda r: r["events_per_sec"])
     eff = round(best_4n["events_per_sec"] / (4 * best_n["events_per_sec"]), 3)
     ceff = round(best_n["compact_sec"] / (4 * best_4n["compact_sec"]), 3)
+    cbest_n = max(ceil_runs[n_cores], key=lambda r: r["rows_per_sec"])
+    cbest_4n = max(ceil_runs[4 * n_cores], key=lambda r: r["rows_per_sec"])
+    ceil_eff = round(cbest_4n["rows_per_sec"] / (4 * cbest_n["rows_per_sec"]), 3)
+    rel = round(eff / ceil_eff, 3) if ceil_eff else None
     out = {
         "n_events": n_events,
         f"local{n_cores}_best": best_n,
         f"local{4 * n_cores}_best": best_4n,
         "all_runs": runs,
         "scaling_efficiency": eff,
+        "ceiling_efficiency": ceil_eff,
+        "engine_vs_ceiling": rel,
     }
     print(json.dumps(out, indent=1))
     block = (
@@ -144,7 +207,14 @@ def main() -> None:
         f"| local[{4 * n_cores}] (4N) | {best_4n['sec']} | {best_4n['events_per_sec']:,} |\n\n"
         f"**Sustained-apply scaling efficiency N→4N: {eff}** (target ≥ 0.8); "
         f"compaction (amortized maintenance, timed separately): {ceff}\n\n"
+        f"Same-window hardware-ceiling control (pure-JVM codegen'd xxhash64 "
+        f"chain, no shuffle/IO, {ceil_rows:,} rows): local[{n_cores}] "
+        f"{cbest_n['rows_per_sec']:,} rows/s vs local[{4 * n_cores}] "
+        f"{cbest_4n['rows_per_sec']:,} rows/s ⇒ ceiling efficiency "
+        f"**{ceil_eff}**; engine/ceiling = **{rel}** "
+        f"(≥ 1.0 ⇒ the shortfall vs the 0.8 target is the box, not the engine).\n\n"
         f"All runs: {json.dumps({k: [x['events_per_sec'] for x in v] for k, v in runs.items()})}\n"
+        f"Ceiling runs: {json.dumps({k: [x['rows_per_sec'] for x in v] for k, v in ceil_runs.items()})}\n"
     )
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "a") as f:
         f.write(block)

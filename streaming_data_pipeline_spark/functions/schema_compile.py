@@ -35,14 +35,34 @@ DEFAULT_DOC = os.path.join(
 )
 
 
+def _read_doc_text(path: str) -> str:
+    """Read the rule document, working both from a filesystem checkout
+    AND from inside a `spark-submit --py-files` zip (where __file__
+    points into the archive and plain open() raises NotADirectoryError).
+    The zip path goes through importlib.resources, which resolves
+    package data through the same zipimporter that loaded the code."""
+    try:
+        with open(path) as f:
+            return f.read()
+    except (NotADirectoryError, FileNotFoundError):
+        if path != DEFAULT_DOC:
+            raise
+        from importlib import resources
+
+        return (
+            resources.files("streaming_data_pipeline_spark")
+            .joinpath("schema_docs/event_rules.yaml")
+            .read_text()
+        )
+
+
 @lru_cache(maxsize=16)
 def load_schema_doc(name: str, path: str | None = None) -> tuple:
     """Load one schema's (rules, defaults) from the YAML document.
     Returned as tuples so the lru_cache stays hashable-safe."""
     import yaml
 
-    with open(path or DEFAULT_DOC) as f:
-        doc = yaml.safe_load(f)
+    doc = yaml.safe_load(_read_doc_text(path or DEFAULT_DOC))
     schema = doc["schemas"][name]
     rules = tuple(
         tuple(sorted(r.items(), key=lambda kv: kv[0])) for r in schema.get("rules", [])

@@ -476,24 +476,23 @@ def refresh_training_mix(
         )
     # the change feed is the refresh's ONLY source of truth. COW merges
     # are visible through their kind='changelog' sidecar (merge_into
-    # writes the deduped batch alongside the rewritten buckets), so they
-    # refresh fine — but a LEGACY merge committed without a sidecar is
-    # feed-invisible (its rewritten bucket files carry kind='base',
-    # indistinguishable from compaction), and rollbacks are deliberately
-    # skipped by the feed (re-published manifests would double-apply).
-    # Refreshing across either would silently ship a stale shard that
-    # still claims snapshot_version=v1.
+    # writes the deduped batch alongside the rewritten buckets), and
+    # rollbacks through their key-level-inverse sidecar (written by
+    # rollback(version, spark)), so both refresh fine — but LEGACY
+    # variants committed without a sidecar are feed-invisible (a
+    # sidecar-less merge's rewritten buckets carry kind='base',
+    # indistinguishable from compaction; a metadata-only rollback names
+    # no keys at all). Refreshing across either would silently ship a
+    # stale shard that still claims snapshot_version=v1.
     for v in range(v0 + 1, v1 + 1):
         meta_v = table.metadata(v)
         snap = meta_v["snapshots"][str(meta_v["current_snapshot_id"])]
         op = snap.get("operation")
-        no_sidecar = op == "merge" and not snap.get("summary", {}).get("changelog")
-        if op == "rollback" or no_sidecar:
-            what = "rollback" if op == "rollback" else "merge without a changelog sidecar"
+        if op in ("merge", "rollback") and not snap.get("summary", {}).get("changelog"):
             raise ValueError(
-                f"snapshot v{v} is a {what} commit, which the change feed "
-                "cannot represent; refresh only spans feed-visible "
-                "history — re-export from scratch"
+                f"snapshot v{v} is a {op} commit without a changelog "
+                "sidecar, which the change feed cannot represent; refresh "
+                "only spans feed-visible history — re-export from scratch"
             )
     rates = man["rates"]
     default_rate = man["default_rate"]

@@ -36,6 +36,7 @@ FAST_QUERIES = [
     "post_compaction_state", # compaction invisibility as a graded row (r3)
     "time_travel_state",     # snapshot isolation as a graded row (r3)
     "change_feed",           # the lake's own CDC feed as a graded row (r3)
+    "rollback_inverse_feed", # feed-visible rollback: key-level inverse (r4)
     "ann_cosine_topk",
     "ann_lsh_sha",       # sha-plane SRP: full LSH pipeline oracled (r2)
     "dedup_simhash_sha", # sha-token SimHash: bit-vote + chunks oracled (r2)

@@ -167,10 +167,10 @@ def test_refresh_refuses_feed_invisible_history(spark, tmp_path):
         spark, table, _batch(spark, [_ev("insert", "x.py", 300, "xx\n")]),
         epoch=1, write_changelog=False,
     )
-    with pytest.raises(ValueError, match="merge without a changelog"):
+    with pytest.raises(ValueError, match="merge commit without a changelog"):
         refresh_training_mix(spark, table, out)
 
-    # a rollback in range refuses too
+    # a LEGACY (metadata-only, sidecar-less) rollback in range refuses too
     table2 = _seed(spark, tmp_path / "t2")
     out2 = str(tmp_path / "s2")
     export_training_mix(spark, table2, out2, rates=RATES, default_rate=50)
@@ -376,6 +376,32 @@ def test_shard_write_fans_out_per_stratum(spark, tmp_path):
         assert file_layout(f"{out}/data/lang={lang}") == file_layout(
             f"{outB}/data/lang={lang}"
         ), lang
+
+
+def test_refresh_spans_sidecar_rollback(spark, tmp_path):
+    """A rollback committed WITH its key-level-inverse sidecar
+    (rollback(v, spark)) stays feed-visible: a lake operator who rolls
+    back one bad epoch no longer loses incremental refresh — refresh
+    across (bad epoch, rollback, good epoch) equals a full re-export."""
+    table = _seed(spark, tmp_path)
+    out = str(tmp_path / "s")
+    export_training_mix(spark, table, out, rates=RATES, default_rate=50)
+    v_pre = table.current_version()
+
+    _mutate(spark, table)  # the bad epoch (keeper churn, new lang, deletes)
+    table.rollback(v_pre, spark)  # retract it, feed-visibly
+    apply_changes(
+        spark, table,
+        _batch(spark, [_ev("insert", "good.py", 300, "def good():\n    return 3\n")]),
+        2,
+    )
+
+    manR = refresh_training_mix(spark, table, out)
+    outB = str(tmp_path / "full")
+    manF = export_training_mix(spark, table, outB, rates=RATES, default_rate=50)
+    assert manR["counts"] == manF["counts"]
+    assert _shard_rows(spark, out) == _shard_rows(spark, outB)
+    assert _index_rows(spark, out) == _index_rows(spark, outB)
 
 
 def test_index_and_sidecar_writes_fan_out(spark, tmp_path):
@@ -650,6 +676,113 @@ def test_near_refresh_with_sampling_and_benchmark(spark, tmp_path):
     assert manR["counts"] == manF["counts"]
     assert _shard_rows(spark, out) == _shard_rows(spark, outB)
     assert _index_rows(spark, out) == _index_rows(spark, outB)
+
+
+def test_near_refresh_fuzz_20_deltas(spark, tmp_path):
+    """Seeded 20-delta fuzz of the near-mode incremental refresh
+    (VERDICT r3 #7): random insert/update/delete with heavy cluster
+    churn — docs hopping between near-dup families (merges/splits/
+    moves), family births and deaths, unique singletons — asserting
+    refresh == full re-export after EVERY delta. Every sixth delta is
+    first applied and then RETRACTED with a feed-visible sidecar
+    rollback before refreshing, so the rollback path is fuzzed inside
+    the same chain. Deterministic (random.Random(42)): LSH recall does
+    not affect the equivalence — a band-missed pair is missed by both
+    paths identically, which is exactly the invariant under test."""
+    import random
+
+    rng = random.Random(42)
+    WORDS = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu "
+        "nu xi omicron pi rho sigma tau upsilon"
+    ).split()
+
+    def family_text(fam: int, tail: int) -> str:
+        base = " ".join(f"{w}f{fam}" for w in WORDS)  # per-family salt
+        return f"{base} tail{tail}\n"
+
+    def unique_text(i: int) -> str:
+        return " ".join(f"uniq{i}w{j}" for j in range(12)) + "\n"
+
+    langs = ["python", "go", "java"]
+    table = SnapshotTable.create(str(tmp_path / "lake"), LAKE_BASE, n_buckets=8)
+    lsn = 0
+    tail = 0
+    uniq = 0
+    present: list[str] = []
+
+    def mk(op, path, content, lang):
+        nonlocal lsn
+        lsn += 1
+        return _ev(op, path, lsn, content, lang)
+
+    rows = []
+    for fam in range(3):
+        for _ in range(3):
+            tail += 1
+            rows.append(mk("insert", f"d{tail}_{fam}.py", family_text(fam, tail), rng.choice(langs)))
+            present.append(rows[-1][2])
+    for _ in range(4):
+        uniq += 1
+        tail += 1
+        rows.append(mk("insert", f"u{tail}.py", unique_text(uniq), rng.choice(langs)))
+        present.append(rows[-1][2])
+    apply_changes(spark, table, _batch(spark, rows), 0)
+
+    out = str(tmp_path / "s")
+    export_training_mix(
+        spark, table, out, rates=RATES, default_rate=100, near_dup_threshold=0.6
+    )
+
+    def random_delta():
+        nonlocal tail, uniq
+        ops = []
+        for _ in range(rng.randint(1, 3)):
+            r = rng.random()
+            if r < 0.35 and present:  # cluster move/merge/split via update
+                p = rng.choice(present)
+                fam = rng.randint(0, 3)  # fam 3 starts empty: family births
+                tail += 1
+                ops.append(mk("update", p, family_text(fam, tail), rng.choice(langs)))
+            elif r < 0.55:  # new family member joins
+                fam = rng.randint(0, 3)
+                tail += 1
+                p = f"d{tail}_{fam}.py"
+                ops.append(mk("insert", p, family_text(fam, tail), rng.choice(langs)))
+                present.append(p)
+            elif r < 0.75 or not present:  # unique singleton
+                uniq += 1
+                tail += 1
+                p = f"u{tail}.py"
+                ops.append(mk("insert", p, unique_text(uniq), rng.choice(langs)))
+                present.append(p)
+            else:  # death (maybe a representative / bridge node)
+                p = rng.choice(present)
+                present.remove(p)
+                ops.append(mk("delete", p, None, None))
+        return ops
+
+    for step in range(1, 21):
+        if step % 6 == 3:
+            # apply a delta, then RETRACT it feed-visibly: the refresh
+            # below must span (bad epoch, rollback, next epoch)
+            v_pre = table.current_version()
+            snap_present = list(present)
+            apply_changes(spark, table, _batch(spark, random_delta()), step * 10)
+            table.rollback(v_pre, spark)
+            present[:] = snap_present
+        apply_changes(spark, table, _batch(spark, random_delta()), step * 10 + 1)
+
+        manR = refresh_training_mix(spark, table, out)
+        outB = str(tmp_path / f"full{step}")
+        manF = export_training_mix(
+            spark, table, outB, rates=RATES, default_rate=100, near_dup_threshold=0.6
+        )
+        assert manR["counts"] == manF["counts"], f"step {step}"
+        assert _shard_rows(spark, out) == _shard_rows(spark, outB), f"step {step}"
+        assert _index_rows(spark, out) == _index_rows(spark, outB), f"step {step}"
+        assert _rows(spark, f"{out}/_near/pairs") == _rows(spark, f"{outB}/_near/pairs"), f"step {step}"
+        assert _rows(spark, f"{out}/_near/bands") == _rows(spark, f"{outB}/_near/bands"), f"step {step}"
 
 
 def test_near_refresh_recovers_from_torn_sidecar_swap(spark, tmp_path):
