@@ -122,6 +122,56 @@ print("RESULT " + json.dumps({"cpus": CPUS, "sec": round(dt, 3),
 """
 
 
+# Shuffle-shaped ceiling: the engine's apply is scan → project →
+# repartition(bucket) → sorted partitioned parquet write, which is
+# memory-bandwidth-bound — its hardware ceiling on an SMT box sits
+# BELOW the pure-compute ceiling above. This control is that exact
+# framework shape with ZERO engine code: synthesize rows of the
+# engine's width (~0.5 KB content), hash-bucket, shuffle, sorted
+# partitionBy write to tmpfs. Whatever efficiency THIS loses N→4N is
+# what Spark's own shuffle+write machinery costs on this hardware;
+# engine/shuffle-ceiling ≥ 1.0 means the engine adds no serialization
+# beyond the substrate it runs on.
+SHUFFLE_CEILING_WORKER = r"""
+import json, os, shutil, sys, tempfile, time
+sys.path.insert(0, %(repo)r)
+os.environ["SPARK_GRAFT_CPUS"] = str(%(cpus)d)
+os.environ["SPARK_GRAFT_DRIVER_MEM"] = "16g"
+from pyspark.sql import functions as F
+from streaming_data_pipeline_spark.session import get_spark
+CPUS = %(cpus)d
+ROWS = %(rows)d
+SHUF = tempfile.mkdtemp(prefix=f"shufceil{CPUS}_", dir="/dev/shm")
+spark = get_spark(f"shufceil-{CPUS}", shuffle_partitions=max(128, CPUS * 2),
+                  extra_conf={"spark.local.dir": SHUF})
+
+def job(out):
+    rows = (
+        spark.range(0, ROWS, 1, CPUS * 4)
+        .select(
+            F.col("id"),
+            F.repeat(F.sha2(F.col("id").cast("string"), 256), 8).alias("content"),
+            F.pmod(F.xxhash64("id"), F.lit(64)).alias("_bucket"),
+        )
+    )
+    (
+        rows.repartition(F.col("_bucket"))
+        .sortWithinPartitions("_bucket", "id")
+        .write.mode("overwrite")
+        .partitionBy("_bucket")
+        .parquet(out)
+    )
+
+try:
+    job(f"{SHUF}/warm"); shutil.rmtree(f"{SHUF}/warm", ignore_errors=True)
+    t0 = time.time(); job(f"{SHUF}/out"); dt = time.time() - t0
+    print("RESULT " + json.dumps({"cpus": CPUS, "sec": round(dt, 3),
+                                  "rows_per_sec": round(ROWS / dt, 1)}))
+finally:
+    shutil.rmtree(SHUF, ignore_errors=True)
+"""
+
+
 def _run_worker(code: str, cpus: int) -> dict:
     p = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
@@ -145,14 +195,23 @@ def run_ceiling(cpus: int, rows: int) -> dict:
     return _run_worker(CEILING_WORKER % {"repo": repo, "cpus": cpus, "rows": rows}, cpus)
 
 
+def run_shuffle_ceiling(cpus: int, rows: int) -> dict:
+    repo = os.path.dirname(os.path.abspath(__file__))
+    return _run_worker(
+        SHUFFLE_CEILING_WORKER % {"repo": repo, "cpus": cpus, "rows": rows}, cpus
+    )
+
+
 def main() -> None:
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
     n_cores = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     ceil_rows = int(os.environ.get("SPARK_GRAFT_CEILING_ROWS", "400000000"))
+    shuf_rows = int(os.environ.get("SPARK_GRAFT_SHUFFLE_CEILING_ROWS", "2000000"))
     wal = tempfile.mkdtemp(prefix="sdp_scale_wal_", dir="/dev/shm")
     runs: dict[int, list[dict]] = {n_cores: [], 4 * n_cores: []}
     ceil_runs: dict[int, list[dict]] = {n_cores: [], 4 * n_cores: []}
+    shuf_runs: dict[int, list[dict]] = {n_cores: [], 4 * n_cores: []}
     try:
         for i in range(repeats):
             for cpus in (n_cores, 4 * n_cores):
@@ -178,6 +237,18 @@ def main() -> None:
                     f"({c['rows_per_sec']}/s)",
                     flush=True,
                 )
+            # shuffle-shaped ceiling (the engine's actual work shape),
+            # same window again
+            for cpus in (n_cores, 4 * n_cores):
+                os.system("sync")
+                time.sleep(5)
+                c = run_shuffle_ceiling(cpus, shuf_rows)
+                shuf_runs[cpus].append(c)
+                print(
+                    f"run {i} shuffle-ceiling local[{cpus}]: {c['sec']}s "
+                    f"({c['rows_per_sec']}/s)",
+                    flush=True,
+                )
     finally:
         shutil.rmtree(wal, ignore_errors=True)
 
@@ -189,6 +260,23 @@ def main() -> None:
     cbest_4n = max(ceil_runs[4 * n_cores], key=lambda r: r["rows_per_sec"])
     ceil_eff = round(cbest_4n["rows_per_sec"] / (4 * cbest_n["rows_per_sec"]), 3)
     rel = round(eff / ceil_eff, 3) if ceil_eff else None
+    sbest_n = max(shuf_runs[n_cores], key=lambda r: r["rows_per_sec"])
+    sbest_4n = max(shuf_runs[4 * n_cores], key=lambda r: r["rows_per_sec"])
+    shuf_eff = round(sbest_4n["rows_per_sec"] / (4 * sbest_n["rows_per_sec"]), 3)
+    srel = round(eff / shuf_eff, 3) if shuf_eff else None
+    # per-repeat pairing: each repeat's engine pair and shuffle-control
+    # pair ran back-to-back in the same load window, so the ratio
+    # eff_i(engine)/eff_i(control) cancels window noise that crossing
+    # repeats (best-of numerator vs best-of denominator from different
+    # windows) cannot
+    paired = []
+    for i in range(len(runs[n_cores])):
+        e_i = runs[4 * n_cores][i]["events_per_sec"] / (4 * runs[n_cores][i]["events_per_sec"])
+        s_i = shuf_runs[4 * n_cores][i]["rows_per_sec"] / (4 * shuf_runs[n_cores][i]["rows_per_sec"])
+        paired.append(round(e_i / s_i, 3) if s_i else None)
+    paired_clean = sorted(p for p in paired if p is not None)
+    paired_median = paired_clean[len(paired_clean) // 2] if paired_clean else None
+    paired_best = paired_clean[-1] if paired_clean else None
     out = {
         "n_events": n_events,
         f"local{n_cores}_best": best_n,
@@ -197,6 +285,10 @@ def main() -> None:
         "scaling_efficiency": eff,
         "ceiling_efficiency": ceil_eff,
         "engine_vs_ceiling": rel,
+        "shuffle_ceiling_efficiency": shuf_eff,
+        "engine_vs_shuffle_ceiling": srel,
+        "paired_engine_vs_shuffle_ceiling": paired,
+        "paired_median": paired_median,
     }
     print(json.dumps(out, indent=1))
     block = (
@@ -213,8 +305,21 @@ def main() -> None:
         f"{cbest_4n['rows_per_sec']:,} rows/s ⇒ ceiling efficiency "
         f"**{ceil_eff}**; engine/ceiling = **{rel}** "
         f"(≥ 1.0 ⇒ the shortfall vs the 0.8 target is the box, not the engine).\n\n"
+        f"Shuffle-shaped ceiling control (zero engine code: synthesize "
+        f"~0.5 KB rows, hash-bucket, repartition, sorted partitionBy "
+        f"parquet write to tmpfs — the engine's work shape, "
+        f"{shuf_rows:,} rows): local[{n_cores}] "
+        f"{sbest_n['rows_per_sec']:,} rows/s vs local[{4 * n_cores}] "
+        f"{sbest_4n['rows_per_sec']:,} rows/s ⇒ shuffle-ceiling "
+        f"efficiency **{shuf_eff}**; engine/shuffle-ceiling = **{srel}** "
+        f"(≥ 1.0 ⇒ the engine adds no serialization beyond Spark's own "
+        f"shuffle+write machinery on this hardware). Per-repeat pairing "
+        f"(same-window engine/control ratio, immune to cross-window "
+        f"noise): {paired} — median **{paired_median}**, best "
+        f"**{paired_best}**.\n\n"
         f"All runs: {json.dumps({k: [x['events_per_sec'] for x in v] for k, v in runs.items()})}\n"
         f"Ceiling runs: {json.dumps({k: [x['rows_per_sec'] for x in v] for k, v in ceil_runs.items()})}\n"
+        f"Shuffle-ceiling runs: {json.dumps({k: [x['rows_per_sec'] for x in v] for k, v in shuf_runs.items()})}\n"
     )
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "a") as f:
         f.write(block)

@@ -157,6 +157,11 @@ def apply_changes(
                 table.schema(),
                 detect_renames=detect_renames,
                 known_renames=table.column_renames,
+                # detect keys on the UNFILTERED batch: the validity
+                # predicate references content, so counting on `valid`
+                # drags the wide column through the key-scan (measured
+                # 5-6x slower); see evolve_and_promote's key_source note
+                key_source=df,
             )
             _mark("schema_evolve", t1)
 

@@ -65,6 +65,7 @@ def evolve_and_promote(
     *,
     detect_renames: bool = False,
     known_renames: dict[str, str] | None = None,
+    key_source: DataFrame | None = None,
 ) -> tuple[DataFrame, T.StructType, dict]:
     """Promote payload keys to columns; return (df_with_promoted_columns,
     new_table_schema, evolution_report). ``df`` keeps CHANGE_EVENT shape
@@ -74,10 +75,20 @@ def evolve_and_promote(
     (from the table's ``column_renames`` metadata): those keys always land
     in their mapped column and never count as new. Newly DETECTED renames
     (only when ``detect_renames=True``) are returned in the report for the
-    caller to persist."""
+    caller to persist.
+
+    ``key_source`` — optional frame to DETECT keys from, defaulting to
+    ``df``. The apply path passes the pre-validation batch: a validity
+    filter references the (large) content column, forcing the key-count
+    scan to read it, while the unfiltered frame prunes to the payload
+    column alone — measured 5-6x cheaper per epoch. Semantics shift only
+    conservatively: a key carried only by invalid rows promotes an
+    all-null column early (filled when the DLQ replays those rows), and
+    extra visible keys can only SUPPRESS the single-candidate rename
+    heuristic, never mis-fire it."""
     known_renames = dict(known_renames or {})
     known_extras = [f.name for f in table_schema.fields if f.name not in LAKE_BASE_COLS]
-    counts = payload_key_counts(df)
+    counts = payload_key_counts(df if key_source is None else key_source)
     # effective payload source keys per existing column, as an ordered
     # COALESCE CHAIN, not a single winner: a column renamed more than once
     # across epochs has several persisted keys mapping to it, and a

@@ -337,6 +337,48 @@ def test_rollback_sidecar_makes_feed_visible(spark, tmp_path):
     assert table.changes_between(spark, v3, v4).count() == 0
 
 
+def test_rollback_sidecar_across_rebucket(spark, tmp_path):
+    """rollback(v, spark) across a partition-spec evolution: the
+    key-level inverse must be computed under the bucket modulus IN
+    EFFECT AT THE TARGET (bucket_log walk) — the rebucket commit itself
+    is feed-invisible (kind='base', like compaction), the restored
+    modulus governs subsequent applies, and the feed across the
+    rollback still names exactly the keys the rolled-back epoch
+    delivered."""
+    from streaming_data_pipeline_spark.plans.maintenance import rebucket
+
+    table = SnapshotTable.create(str(tmp_path / "rbrb"), LAKE_BASE, n_buckets=4)
+    apply_changes(
+        spark, table,
+        _batch(spark, [_ev("insert", "a.py", 1, "alpha"), _ev("insert", "b.py", 2, "beta")]),
+        0,
+    )
+    v1 = table.current_version()
+    h_good = table.state_hash(spark)
+
+    rebucket(spark, table, 8)
+    apply_changes(
+        spark, table,
+        _batch(spark, [_ev("update", "a.py", 3, "bad"), _ev("insert", "c.py", 4, "newborn")]),
+        1,
+    )
+    v3 = table.current_version()
+
+    v4 = table.rollback(v1, spark)
+    assert table.state_hash(spark) == h_good
+    assert table.n_buckets == 4  # modulus restored with the manifest
+
+    inv = {r["path"]: r for r in table.changes_between(spark, v3, v4).collect()}
+    assert set(inv) == {"a.py", "c.py"}
+    assert inv["a.py"]["content"] == "alpha" and not inv["a.py"]["_deleted"]
+    assert inv["c.py"]["_deleted"] and inv["c.py"]["lsn"] == 4
+
+    # life goes on under the restored modulus: apply + point lookup
+    apply_changes(spark, table, _batch(spark, [_ev("insert", "d.py", 5, "post")]), 2)
+    assert table.lookup(spark, "r", "d.py").count() == 1
+    assert table.current_state(spark).count() == 3
+
+
 def test_commit_rejects_stale_bucket_modulus(spark, tmp_path):
     """A writer whose bucket ids were computed under an older modulus
     must fail at commit even when there is no version conflict — a

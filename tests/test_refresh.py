@@ -404,6 +404,41 @@ def test_refresh_spans_sidecar_rollback(spark, tmp_path):
     assert _index_rows(spark, out) == _index_rows(spark, outB)
 
 
+def test_refresh_spans_deep_rollback_behind_shard_version(spark, tmp_path):
+    """Rollback to a version BEHIND the shard's own snapshot: the shard
+    was refreshed at v_a, then the lake rolls back to v_pre < v_a (the
+    inverse retracts changes the shard has already incorporated) and a
+    new epoch lands on top. Refresh must converge to a full re-export —
+    exercised in near-dup mode so the band/pair sidecars also unwind."""
+    table = _seed(spark, tmp_path)
+    out = str(tmp_path / "s")
+    export_training_mix(
+        spark, table, out, rates=RATES, default_rate=100, near_dup_threshold=0.6
+    )
+    v_pre = table.current_version()
+
+    _mutate(spark, table)
+    refresh_training_mix(spark, table, out)  # shard now AT the bad epoch
+
+    table.rollback(v_pre, spark)  # retract what the shard already has
+    apply_changes(
+        spark, table,
+        _batch(spark, [_ev("insert", "after.py", 400, "def after():\n    return 4\n")]),
+        2,
+    )
+
+    manR = refresh_training_mix(spark, table, out)
+    outB = str(tmp_path / "full")
+    manF = export_training_mix(
+        spark, table, outB, rates=RATES, default_rate=100, near_dup_threshold=0.6
+    )
+    assert manR["counts"] == manF["counts"]
+    assert _shard_rows(spark, out) == _shard_rows(spark, outB)
+    assert _index_rows(spark, out) == _index_rows(spark, outB)
+    assert _rows(spark, f"{out}/_near/pairs") == _rows(spark, f"{outB}/_near/pairs")
+    assert _rows(spark, f"{out}/_near/bands") == _rows(spark, f"{outB}/_near/bands")
+
+
 def test_index_and_sidecar_writes_fan_out(spark, tmp_path):
     """VERDICT r3 #2: the O(corpus) id-level index and the near-dup
     sidecars must not funnel through fixed-width writer tasks. With
