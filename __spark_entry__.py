@@ -571,6 +571,30 @@ def q_doc_fingerprint(spark, sf_dir):
     return text.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+_PACK_BUDGET = 2048
+
+
+def q_sequence_packing(spark, sf_dir):
+    """GPT-style concat-and-chunk packing over the documents corpus:
+    per lang, doc_id order, 2048-token windows — each doc's sequence
+    coordinates (seq_id, offsets) from one codegen'd window cumsum."""
+    from streaming_data_pipeline_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), _PACK_BUDGET)
+
+
+def q_packing_stats(spark, sf_dir):
+    """Per-lang packing summary: sequences occupied and boundary
+    straddlers (the loader-side cost of padding-free packing)."""
+    from streaming_data_pipeline_spark.operators.packing import (
+        pack_sequences,
+        packing_stats,
+    )
+
+    packed = pack_sequences(_t(spark, sf_dir, "documents"), _PACK_BUDGET)
+    return packing_stats(packed, _PACK_BUDGET)
+
+
 def q_pii_redaction(spark, sf_dir):
     """PII scrub over documents. The driver corpus carries no PII, so the
     query injects a deterministic email/IP/phone span into every 5th doc
@@ -787,6 +811,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "token_stats": q_token_stats,
         "doc_fingerprint": q_doc_fingerprint,
+        "sequence_packing": q_sequence_packing,
+        "packing_stats": q_packing_stats,
         "pii_redaction": q_pii_redaction,
         "benchmark_contamination": q_benchmark_contamination,
         "repetition_scores": q_repetition_scores,
@@ -1280,6 +1306,39 @@ def oracle_sql() -> dict[str, str]:
                    sha256(substring(lower(regexp_replace(text, '\\s+', ' ', 'g')), 1, 64)) AS prefix_sha,
                    (length(text) // 100)::BIGINT AS len_bucket
             FROM documents
+        """,
+        # concat-and-chunk sequence packing: per-lang running token
+        # prefix sum, 2048-token windows, each doc tagged with the
+        # window it starts in — the same cumsum the Spark window computes
+        "sequence_packing": f"""
+            WITH t AS (SELECT doc_id, lang,
+                              len({_TOKS_NE})::BIGINT AS n_tokens
+                       FROM documents),
+            c AS (SELECT doc_id, lang, n_tokens,
+                         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                  FROM t)
+            SELECT doc_id, lang, n_tokens,
+                   (cum - n_tokens)::BIGINT AS tok_start,
+                   ((cum - n_tokens) // 2048)::BIGINT AS seq_id,
+                   ((cum - n_tokens) %% 2048)::BIGINT AS offset_in_seq
+            FROM c
+        """.replace("%%", "%"),
+        "packing_stats": f"""
+            WITH t AS (SELECT doc_id, lang,
+                              len({_TOKS_NE})::BIGINT AS n_tokens
+                       FROM documents),
+            c AS (SELECT doc_id, lang, n_tokens,
+                         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                  FROM t)
+            SELECT lang,
+                   count(*)::BIGINT AS n_docs,
+                   sum(n_tokens)::BIGINT AS total_tokens,
+                   ceil(sum(n_tokens) / 2048.0)::BIGINT AS n_sequences,
+                   sum(CASE WHEN cum > (((cum - n_tokens) // 2048) + 1) * 2048
+                            THEN 1 ELSE 0 END)::BIGINT AS n_straddlers
+            FROM c GROUP BY lang
         """,
         "pii_redaction": """
             WITH injected AS (

@@ -31,6 +31,8 @@ FAST_QUERIES = [
     "embedding_near_dup",   # graded via the SRP-bucketed LSH path (r2)
     "text_quality",
     "token_stats",
+    "sequence_packing",      # concat-and-chunk window cumsum (r4)
+    "packing_stats",         # straddler accounting (r4)
     "multimodal_binary_stats",
     "frame_sample",          # stub fan-out fully oracled (r3)
     "post_compaction_state", # compaction invisibility as a graded row (r3)
