@@ -15,11 +15,20 @@ Scale analysis (the part that must survive 100 TB):
   distinct values — a bounded collect), and the target scan reads ONLY
   manifest files in those buckets: a microbatch touching 3% of buckets
   reads and rewrites 3% of the table, independent of table size.
-- The join shuffles both sides on hash(repo, path) — the same function
-  as the bucket layout. Composite-key hashing spreads hot repos across
-  partitions (a hot repo's paths scatter); residual skew is covered by
-  AQE skew-join (session.py). The expensive column (`content`,
-  ~KB/row) is carried through exactly one shuffle on each side.
+- The join: a microbatch is bounded by definition, so the default path
+  BROADCASTS the deduped batch and decomposes the MERGE into map-side
+  joins — base LEFT OUTER broadcast(batch) resolves matched and
+  untouched rows without ever shuffling the base, a broadcast
+  semi/anti pair yields the batch's brand-new keys — leaving the
+  bucket-clustering write as the base's ONLY shuffle. Batches above
+  SDP_COW_BROADCAST_MAX_ROWS (default 1M) fall back to the classic
+  full-outer sort-merge join, where composite-key hashing spreads hot
+  repos and AQE skew-join covers residual skew (session.py).
+- The pre-join LWW resolve of the target is SKIPPED when the touched
+  buckets hold only kind='base' files (manifest metadata): base files
+  within a bucket always come from one rewrite (merge/compact/
+  rebucket), so keys are already unique — steady-state COW pays no
+  resolve shuffle at all.
 - Deletes become tombstones (_deleted=true, delete's lsn kept) so a
   stale update replayed after a delete cannot resurrect the key;
   delete-of-absent-key inserts a tombstone (a no-op in the live view).
@@ -214,10 +223,21 @@ def merge_into(
             return {"version": ver, "source_rows": 0, "touched_buckets": [], "files": []}
 
         # resolved: the touched buckets may hold MOR delta files; the
-        # join needs exactly one current row per key. Replacing the
-        # buckets afterwards retires those deltas in the same commit.
+        # join needs exactly one current row per key. SKIPPED when the
+        # manifest shows only kind='base' files in the touched buckets —
+        # base files within a bucket always come from ONE rewrite, so
+        # keys are already unique and the LWW fold would be a pure-cost
+        # shuffle. Replacing the buckets retires any deltas in the same
+        # commit either way.
+        pure_base = all(
+            e.get("kind", "base") == "base"
+            for e in table.manifest(read_version)
+            if e.get("kind") != "changelog" and e["bucket"] in touched
+        )
         target = align_to_schema(
-            table.read(spark, version=read_version, buckets=touched, resolved=True),
+            table.read(
+                spark, version=read_version, buckets=touched, resolved=not pure_base
+            ),
             lake_schema,
         )
 
@@ -228,32 +248,83 @@ def merge_into(
         cond = (F.col("_s_repo").eqNullSafe(F.col("_t_repo"))) & (
             F.col("_s_path").eqNullSafe(F.col("_t_path"))
         )
-        joined = s.join(t, cond, "full_outer")
-
-        has_src = F.col("_s_repo").isNotNull()
-        has_tgt = F.col("_t_repo").isNotNull()
         # same total order as lww_dedup / MOR resolve: lexicographic
         # (lsn, commit) via struct comparison — on an lsn tie the two apply
         # modes must pick the same winner. Strict inequality keeps replay
         # idempotent (re-applying an applied change is a no-op).
         s_ord = F.struct(F.col("_s_lsn"), F.col("_s_commit"))
         t_ord = F.struct(F.col("_t_lsn"), F.col("_t_commit"))
-        apply_src = has_src & (~has_tgt | (s_ord > t_ord))
+        has_src = F.col("_s_repo").isNotNull()
 
-        resolved_cols = []
-        for c in cols:
-            if c in LAKE_KEY:
-                resolved_cols.append(F.coalesce(F.col(f"_s_{c}"), F.col(f"_t_{c}")).alias(c))
-            else:
-                resolved_cols.append(
-                    F.when(apply_src, F.col(f"_s_{c}")).otherwise(F.col(f"_t_{c}")).alias(c)
-                )
-        result = joined.select(
-            *resolved_cols,
-            F.coalesce(F.col("_s__bucket"), bucket_col(n_buckets, "_t_repo", "_t_path")).alias("_bucket"),
-            apply_src.alias("_applied"),
-            has_src.alias("_from_src"),
-        )
+        import os as _os
+
+        broadcast_max = int(_os.environ.get("SDP_COW_BROADCAST_MAX_ROWS", "1000000"))
+        src_rows_n = src.count()  # cached; bounded by the microbatch
+        if src_rows_n <= broadcast_max:
+            # Broadcast MERGE decomposition — the base side is NEVER
+            # shuffled into a join:
+            #  1. base LEFT OUTER broadcast(batch): matched rows resolve
+            #     by the strict-greater rule, unmatched base rows carry
+            #     forward — one map-side pass over the touched buckets.
+            #  2. base LEFT SEMI broadcast(batch keys) → keys the batch
+            #     UPDATES (output ≤ batch size, map-side).
+            #  3. batch LEFT ANTI broadcast(those keys) → brand-new keys
+            #     (insert + delete-of-absent tombstones), map-side over
+            #     the already-tiny batch.
+            apply_src = has_src & (s_ord > t_ord)
+            base_cols = []
+            for c in cols:
+                if c in LAKE_KEY:
+                    base_cols.append(F.col(f"_t_{c}").alias(c))
+                else:
+                    base_cols.append(
+                        F.when(apply_src, F.col(f"_s_{c}")).otherwise(F.col(f"_t_{c}")).alias(c)
+                    )
+            base_resolved = t.join(F.broadcast(s), cond, "left_outer").select(
+                *base_cols,
+                bucket_col(n_buckets, "_t_repo", "_t_path").alias("_bucket"),
+                apply_src.alias("_applied"),
+                has_src.alias("_from_src"),
+            )
+            present = t.join(
+                F.broadcast(s.select("_s_repo", "_s_path")), cond, "left_semi"
+            ).select(
+                F.col("_t_repo").alias("_p_repo"), F.col("_t_path").alias("_p_path")
+            )
+            anti_cond = (F.col("_s_repo").eqNullSafe(F.col("_p_repo"))) & (
+                F.col("_s_path").eqNullSafe(F.col("_p_path"))
+            )
+            new_rows = s.join(F.broadcast(present), anti_cond, "left_anti").select(
+                *[F.col(f"_s_{c}").alias(c) for c in cols],
+                F.col("_s__bucket").alias("_bucket"),
+                F.lit(True).alias("_applied"),
+                F.lit(True).alias("_from_src"),
+            )
+            result = base_resolved.unionByName(new_rows)
+        else:
+            # Fallback for outsized batches: classic full-outer
+            # sort-merge MERGE (both sides shuffle on the key hash).
+            joined = s.join(t, cond, "full_outer")
+            has_tgt = F.col("_t_repo").isNotNull()
+            apply_src = has_src & (~has_tgt | (s_ord > t_ord))
+            resolved_cols = []
+            for c in cols:
+                if c in LAKE_KEY:
+                    resolved_cols.append(
+                        F.coalesce(F.col(f"_s_{c}"), F.col(f"_t_{c}")).alias(c)
+                    )
+                else:
+                    resolved_cols.append(
+                        F.when(apply_src, F.col(f"_s_{c}")).otherwise(F.col(f"_t_{c}")).alias(c)
+                    )
+            result = joined.select(
+                *resolved_cols,
+                F.coalesce(
+                    F.col("_s__bucket"), bucket_col(n_buckets, "_t_repo", "_t_path")
+                ).alias("_bucket"),
+                apply_src.alias("_applied"),
+                has_src.alias("_from_src"),
+            )
 
         obs = Observation(f"merge-{epoch}")
         result = result.observe(
