@@ -66,6 +66,87 @@ def align_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
     return out.select(*[f.name for f in schema.fields])
 
 
+def merge_resolved_frame(
+    s: DataFrame,
+    t: DataFrame,
+    cols: list[str],
+    n_buckets: int,
+    *,
+    use_broadcast: bool,
+) -> DataFrame:
+    """The MERGE resolution plan over aliased source (`_s_*`, with
+    `_s__bucket`) and target (`_t_*`) frames: one output row per key,
+    strict-greater (lsn, commit) winner, `_applied`/`_from_src` flags.
+    Pure plan construction — extracted so tests can gate the physical
+    strategy (broadcast decomposition vs sort-merge fallback) directly.
+
+    ``use_broadcast``: decompose into map-side joins that never shuffle
+    the target — t LEFT OUTER broadcast(s) resolves matched + carried
+    rows, t LEFT SEMI broadcast(s-keys) finds the updated keys, and
+    s LEFT ANTI broadcast(those) yields brand-new keys. Otherwise the
+    classic full-outer sort-merge join."""
+    cond = (F.col("_s_repo").eqNullSafe(F.col("_t_repo"))) & (
+        F.col("_s_path").eqNullSafe(F.col("_t_path"))
+    )
+    # same total order as lww_dedup / MOR resolve: lexicographic
+    # (lsn, commit) via struct comparison — on an lsn tie the two apply
+    # modes must pick the same winner. Strict inequality keeps replay
+    # idempotent (re-applying an applied change is a no-op).
+    s_ord = F.struct(F.col("_s_lsn"), F.col("_s_commit"))
+    t_ord = F.struct(F.col("_t_lsn"), F.col("_t_commit"))
+    has_src = F.col("_s_repo").isNotNull()
+
+    if use_broadcast:
+        apply_src = has_src & (s_ord > t_ord)
+        base_cols = []
+        for c in cols:
+            if c in LAKE_KEY:
+                base_cols.append(F.col(f"_t_{c}").alias(c))
+            else:
+                base_cols.append(
+                    F.when(apply_src, F.col(f"_s_{c}")).otherwise(F.col(f"_t_{c}")).alias(c)
+                )
+        base_resolved = t.join(F.broadcast(s), cond, "left_outer").select(
+            *base_cols,
+            bucket_col(n_buckets, "_t_repo", "_t_path").alias("_bucket"),
+            apply_src.alias("_applied"),
+            has_src.alias("_from_src"),
+        )
+        present = t.join(
+            F.broadcast(s.select("_s_repo", "_s_path")), cond, "left_semi"
+        ).select(F.col("_t_repo").alias("_p_repo"), F.col("_t_path").alias("_p_path"))
+        anti_cond = (F.col("_s_repo").eqNullSafe(F.col("_p_repo"))) & (
+            F.col("_s_path").eqNullSafe(F.col("_p_path"))
+        )
+        new_rows = s.join(F.broadcast(present), anti_cond, "left_anti").select(
+            *[F.col(f"_s_{c}").alias(c) for c in cols],
+            F.col("_s__bucket").alias("_bucket"),
+            F.lit(True).alias("_applied"),
+            F.lit(True).alias("_from_src"),
+        )
+        return base_resolved.unionByName(new_rows)
+
+    joined = s.join(t, cond, "full_outer")
+    has_tgt = F.col("_t_repo").isNotNull()
+    apply_src = has_src & (~has_tgt | (s_ord > t_ord))
+    resolved_cols = []
+    for c in cols:
+        if c in LAKE_KEY:
+            resolved_cols.append(F.coalesce(F.col(f"_s_{c}"), F.col(f"_t_{c}")).alias(c))
+        else:
+            resolved_cols.append(
+                F.when(apply_src, F.col(f"_s_{c}")).otherwise(F.col(f"_t_{c}")).alias(c)
+            )
+    return joined.select(
+        *resolved_cols,
+        F.coalesce(
+            F.col("_s__bucket"), bucket_col(n_buckets, "_t_repo", "_t_path")
+        ).alias("_bucket"),
+        apply_src.alias("_applied"),
+        has_src.alias("_from_src"),
+    )
+
+
 def append_delta(
     spark: SparkSession,
     table: SnapshotTable,
@@ -245,87 +326,13 @@ def merge_into(
         s = src.select(*[F.col(c).alias(f"_s_{c}") for c in cols + ["_bucket"]])
         t = target.select(*[F.col(c).alias(f"_t_{c}") for c in cols])
 
-        cond = (F.col("_s_repo").eqNullSafe(F.col("_t_repo"))) & (
-            F.col("_s_path").eqNullSafe(F.col("_t_path"))
-        )
-        # same total order as lww_dedup / MOR resolve: lexicographic
-        # (lsn, commit) via struct comparison — on an lsn tie the two apply
-        # modes must pick the same winner. Strict inequality keeps replay
-        # idempotent (re-applying an applied change is a no-op).
-        s_ord = F.struct(F.col("_s_lsn"), F.col("_s_commit"))
-        t_ord = F.struct(F.col("_t_lsn"), F.col("_t_commit"))
-        has_src = F.col("_s_repo").isNotNull()
-
         import os as _os
 
         broadcast_max = int(_os.environ.get("SDP_COW_BROADCAST_MAX_ROWS", "1000000"))
         src_rows_n = src.count()  # cached; bounded by the microbatch
-        if src_rows_n <= broadcast_max:
-            # Broadcast MERGE decomposition — the base side is NEVER
-            # shuffled into a join:
-            #  1. base LEFT OUTER broadcast(batch): matched rows resolve
-            #     by the strict-greater rule, unmatched base rows carry
-            #     forward — one map-side pass over the touched buckets.
-            #  2. base LEFT SEMI broadcast(batch keys) → keys the batch
-            #     UPDATES (output ≤ batch size, map-side).
-            #  3. batch LEFT ANTI broadcast(those keys) → brand-new keys
-            #     (insert + delete-of-absent tombstones), map-side over
-            #     the already-tiny batch.
-            apply_src = has_src & (s_ord > t_ord)
-            base_cols = []
-            for c in cols:
-                if c in LAKE_KEY:
-                    base_cols.append(F.col(f"_t_{c}").alias(c))
-                else:
-                    base_cols.append(
-                        F.when(apply_src, F.col(f"_s_{c}")).otherwise(F.col(f"_t_{c}")).alias(c)
-                    )
-            base_resolved = t.join(F.broadcast(s), cond, "left_outer").select(
-                *base_cols,
-                bucket_col(n_buckets, "_t_repo", "_t_path").alias("_bucket"),
-                apply_src.alias("_applied"),
-                has_src.alias("_from_src"),
-            )
-            present = t.join(
-                F.broadcast(s.select("_s_repo", "_s_path")), cond, "left_semi"
-            ).select(
-                F.col("_t_repo").alias("_p_repo"), F.col("_t_path").alias("_p_path")
-            )
-            anti_cond = (F.col("_s_repo").eqNullSafe(F.col("_p_repo"))) & (
-                F.col("_s_path").eqNullSafe(F.col("_p_path"))
-            )
-            new_rows = s.join(F.broadcast(present), anti_cond, "left_anti").select(
-                *[F.col(f"_s_{c}").alias(c) for c in cols],
-                F.col("_s__bucket").alias("_bucket"),
-                F.lit(True).alias("_applied"),
-                F.lit(True).alias("_from_src"),
-            )
-            result = base_resolved.unionByName(new_rows)
-        else:
-            # Fallback for outsized batches: classic full-outer
-            # sort-merge MERGE (both sides shuffle on the key hash).
-            joined = s.join(t, cond, "full_outer")
-            has_tgt = F.col("_t_repo").isNotNull()
-            apply_src = has_src & (~has_tgt | (s_ord > t_ord))
-            resolved_cols = []
-            for c in cols:
-                if c in LAKE_KEY:
-                    resolved_cols.append(
-                        F.coalesce(F.col(f"_s_{c}"), F.col(f"_t_{c}")).alias(c)
-                    )
-                else:
-                    resolved_cols.append(
-                        F.when(apply_src, F.col(f"_s_{c}")).otherwise(F.col(f"_t_{c}")).alias(c)
-                    )
-            result = joined.select(
-                *resolved_cols,
-                F.coalesce(
-                    F.col("_s__bucket"), bucket_col(n_buckets, "_t_repo", "_t_path")
-                ).alias("_bucket"),
-                apply_src.alias("_applied"),
-                has_src.alias("_from_src"),
-            )
-
+        result = merge_resolved_frame(
+            s, t, cols, n_buckets, use_broadcast=src_rows_n <= broadcast_max
+        )
         obs = Observation(f"merge-{epoch}")
         result = result.observe(
             obs,

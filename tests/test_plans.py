@@ -145,3 +145,39 @@ def test_stratified_sample_is_map_only(spark):
     plan = _plan(entrymod.q_stratified_sample(spark, SF))
     assert "Join" not in plan and "Aggregate" not in plan
     assert ") Exchange" not in plan
+
+
+def test_cow_merge_plan_broadcasts_the_batch(spark):
+    """The default COW MERGE strategy must never shuffle the base into
+    a join: the broadcast decomposition's physical plan contains only
+    BroadcastHashJoin operators (left-outer resolve + semi + anti) and
+    no SortMergeJoin/Exchange on the base side; the fallback
+    (use_broadcast=False) plans the classic full-outer SortMergeJoin."""
+    from streaming_data_pipeline_spark.operators.merge import (
+        merge_resolved_frame,
+        source_to_lake_rows,
+    )
+
+    changes = entrymod._valid_changes(spark, SF).drop("payload")
+    src_rows = source_to_lake_rows(changes, LAKE_BASE).withColumn(
+        "_bucket", bucket_col(16)
+    )
+    cols = [f.name for f in LAKE_BASE.fields]
+    s = src_rows.select(*[F.col(c).alias(f"_s_{c}") for c in cols + ["_bucket"]])
+    # target stands in as another scan of the same shape
+    t = source_to_lake_rows(changes, LAKE_BASE).select(
+        *[F.col(c).alias(f"_t_{c}") for c in cols]
+    )
+
+    bplan = _plan(merge_resolved_frame(s, t, cols, 16, use_broadcast=True))
+    assert "BroadcastHashJoin" in bplan
+    assert "SortMergeJoin" not in bplan
+    # the base side reaches the join without any shuffle: every Exchange
+    # in the plan is a broadcast exchange (the batch being shipped)
+    import re
+
+    exchanges = re.findall(r"\(\d+\) (Broadcast)?Exchange", bplan)
+    assert exchanges and all(e == "Broadcast" for e in exchanges)
+
+    splan = _plan(merge_resolved_frame(s, t, cols, 16, use_broadcast=False))
+    assert "SortMergeJoin" in splan and "FullOuter" in splan
