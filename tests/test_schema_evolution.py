@@ -261,3 +261,62 @@ def test_reserved_payload_keys_never_promoted(spark, tmp_path):
     apply_changes(spark, table, batch, 0)
     live = {r["path"] for r in table.current_state(spark).collect()}
     assert live == {"a.py"}
+
+
+def test_dlq_only_payload_keys_do_not_evolve_schema(spark, tmp_path):
+    """A payload key carried ONLY by invalid (DLQ-bound) rows must not
+    promote an all-null column (ADVICE r4: malformed/adversarial events
+    could otherwise grow the table schema forever). It is deferred —
+    and promotes naturally once a VALID row carries it (the replay
+    path)."""
+    table = SnapshotTable.create(str(tmp_path / "t"), LAKE_BASE, n_buckets=4)
+    batch = spark.createDataFrame(
+        [
+            _ev("insert", "r", "a.py", 1, {"stars": "5"}),
+            # invalid: negative lsn fails the YAML rule doc
+            _ev("insert", "r", "bad.py", -7, {"evil_key": "x"}),
+        ],
+        CH,
+    )
+    stats = apply_changes(spark, table, batch, 0)
+    names = [f.name for f in table.schema().fields]
+    assert "stars" in names
+    assert "evil_key" not in names
+    assert stats["schema_evolution"]["deferred_keys"] == ["evil_key"]
+    assert stats["dlq_rows"] == 1
+
+    # the same key arriving on a VALID row later (e.g. DLQ replay after
+    # the producer fixes the envelope) promotes normally
+    apply_changes(
+        spark,
+        table,
+        spark.createDataFrame(
+            [_ev("insert", "r", "ok.py", 8, {"evil_key": "now-legit"})], CH
+        ),
+        1,
+    )
+    assert "evil_key" in [f.name for f in table.schema().fields]
+    rows = {r["path"]: r for r in table.current_state(spark).collect()}
+    assert rows["ok.py"]["evil_key"] == "now-legit"
+
+
+def test_confirm_source_defers_unseen_keys_unit(spark):
+    """evolve_and_promote(confirm_source=...): keys absent from every
+    confirm row are deferred and excluded from the rename heuristic."""
+    schema = T.StructType(
+        list(LAKE_BASE.fields) + [T.StructField("stars", T.StringType(), True)]
+    )
+    batch = spark.createDataFrame(
+        [_ev("insert", "r", "c.py", 3, {"stargazers": "9"})], CH
+    )
+    empty_confirm = spark.createDataFrame([], CH)
+    out, new_schema, report = evolve_and_promote(
+        batch, schema, detect_renames=True,
+        key_source=batch, confirm_source=empty_confirm,
+    )
+    # without confirmation this exact shape fires the rename heuristic
+    # (test_rename_heuristic); a DLQ-only key must not
+    assert report["renamed_columns"] == {}
+    assert report["added_columns"] == []
+    assert report["deferred_keys"] == ["stargazers"]
+    assert [f.name for f in new_schema.fields] == [f.name for f in schema.fields]
