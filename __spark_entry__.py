@@ -595,6 +595,83 @@ def q_packing_stats(spark, sf_dir):
     return packing_stats(packed, _PACK_BUDGET)
 
 
+def q_packed_shard_spec(spark, sf_dir):
+    """Packing over the export's G-way sharded spec (VERDICT r4 next
+    #4): documents split into (lang, file_group) streams — the same
+    two-column grouping `export_training_mix(pack_budget=...)` packs
+    with — each stream chunked into 2048-token windows. The group hash
+    is the sha256-prefix idiom (engine-portable; the production path
+    uses xxhash64 via plans/export.shard_file_group, pinned by
+    tests/test_packing.py) so DuckDB reproduces the identical group
+    ids, hence identical per-group coordinates."""
+    from streaming_data_pipeline_spark.operators.packing import pack_sequences
+
+    g = 4
+    fg = F.pmod(
+        F.conv(
+            F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 15), 16, 10
+        ).cast("long"),
+        F.lit(g),
+    )
+    src = _t(spark, sf_dir, "documents").withColumn("file_group", fg)
+    return pack_sequences(
+        src, _PACK_BUDGET, group_cols=("lang", "file_group")
+    ).withColumn("file_group", F.col("file_group").cast("long"))
+
+
+def q_export_packed_shard(spark, sf_dir):
+    """Grades the INTEGRATED shard-and-pack export (VERDICT r4 next #4):
+    live lake state → exact dedup → repetition filter → stratified
+    sample → sequence packing over the shard's (lang, file_group,
+    repo, path) order, exactly as export_training_mix(pack_budget=...)
+    writes the `_packing` sidecar and as refresh_training_mix maintains
+    it incrementally. The documents corpus loads into a real snapshot
+    lake with path = zero-padded doc_id (the export_near_dedup recipe),
+    so the shard order is doc_id order and file_groups=1 keeps the
+    group hash oracle-expressible; the G-way grouping itself is graded
+    by the sha twin `packed_shard_spec`."""
+    import atexit
+
+    from streaming_data_pipeline_spark.plans.export import export_training_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.select(
+        F.lit("insert").alias("op"),
+        F.lit("r").alias("repo"),
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("path"),
+        F.concat(F.lit("c"), F.col("doc_id").cast("string")).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+        F.col("doc_id").alias("lsn"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(None).cast("map<string,string>").alias("payload"),
+    )
+    tmp = tempfile.mkdtemp(prefix="sdp_lake_pk_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    table = SnapshotTable.create(f"{tmp}/lake", LAKE_BASE, n_buckets=16)
+    apply_changes(spark, table, ev, epoch=0)
+    export_training_mix(
+        spark,
+        table,
+        f"{tmp}/mix",
+        rates={},
+        default_rate=100,
+        file_groups=1,
+        pack_budget=_PACK_BUDGET,
+    )
+    return (
+        spark.read.parquet(f"{tmp}/mix/_packing")
+        .select(
+            F.col("path").cast("long").alias("doc_id"),
+            F.col("lang").cast("string").alias("lang"),
+            "n_tokens",
+            "tok_start",
+            "seq_id",
+            "offset_in_seq",
+        )
+    )
+
+
 def q_pii_redaction(spark, sf_dir):
     """PII scrub over documents. The driver corpus carries no PII, so the
     query injects a deterministic email/IP/phone span into every 5th doc
@@ -811,6 +888,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "sequence_packing": q_sequence_packing,
         "packing_stats": q_packing_stats,
+        "packed_shard_spec": q_packed_shard_spec,
+        "export_packed_shard": q_export_packed_shard,
         "pii_redaction": q_pii_redaction,
         "benchmark_contamination": q_benchmark_contamination,
         "repetition_scores": q_repetition_scores,
@@ -1356,6 +1435,50 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END)::BIGINT AS n_straddlers
             FROM c GROUP BY lang
         """,
+        # packing over the export's G-way (lang, file_group) shard spec:
+        # sha256-prefix group hash (engine-portable twin of the export's
+        # xxhash64 shard_file_group), then the same per-group cumsum
+        "packed_shard_spec": f"""
+            WITH t AS (SELECT doc_id, lang,
+                              ('0x' || substr(sha256(doc_id::VARCHAR), 1, 15))::BIGINT %% 4 AS file_group,
+                              len({_TOKS_NE})::BIGINT AS n_tokens
+                       FROM documents),
+            c AS (SELECT doc_id, lang, file_group, n_tokens,
+                         sum(n_tokens) OVER (PARTITION BY lang, file_group ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                  FROM t)
+            SELECT doc_id, lang, file_group, n_tokens,
+                   (cum - n_tokens)::BIGINT AS tok_start,
+                   ((cum - n_tokens) // 2048)::BIGINT AS seq_id,
+                   ((cum - n_tokens) %% 2048)::BIGINT AS offset_in_seq
+            FROM c
+        """.replace("%%", "%"),
+        # the INTEGRATED shard-and-pack export: exact dedup (min doc_id
+        # keeper via the zero-padded-path lake recipe) -> repetition
+        # filter (same round(max/sum,4) > 0.9 rule the operator grades)
+        # -> rate-100 sample (keeps all) -> per-lang packing in shard
+        # (repo, path) == doc_id order, as export_training_mix writes
+        # the _packing sidecar with file_groups=1
+        "export_packed_shard": f"""
+            WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+            {_shingles_sql("toks", "sh", distinct=False)},
+            per AS (SELECT doc_id, shingle, count(*) AS c FROM sh GROUP BY 1, 2),
+            repfail AS (SELECT doc_id FROM per GROUP BY doc_id
+                        HAVING round(max(c) * 1.0 / sum(c), 4) > 0.9),
+            surv AS (SELECT d.doc_id, d.lang, len({_TOKS_NE})::BIGINT AS n_tokens
+                     FROM documents d
+                     JOIN keep USING (doc_id)
+                     WHERE d.doc_id NOT IN (SELECT doc_id FROM repfail)),
+            c AS (SELECT doc_id, lang, n_tokens,
+                         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                  FROM surv)
+            SELECT doc_id, lang, n_tokens,
+                   (cum - n_tokens)::BIGINT AS tok_start,
+                   ((cum - n_tokens) // 2048)::BIGINT AS seq_id,
+                   ((cum - n_tokens) %% 2048)::BIGINT AS offset_in_seq
+            FROM c
+        """.replace("%%", "%"),
         "pii_redaction": """
             WITH injected AS (
               SELECT doc_id,

@@ -37,6 +37,7 @@ def pack_sequences(
     group_cols: tuple[str, ...] = ("lang",),
     order_cols: tuple[str, ...] = ("doc_id",),
     id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign each document its training-sequence coordinates.
 
@@ -46,6 +47,10 @@ def pack_sequences(
     absolute offset in the group stream, ``offset_in_seq`` its offset
     inside the window. Deterministic — same input, same packing — so
     re-exports reproduce byte-identical sequence assignments.
+
+    ``keep_cols``: extra passthrough columns appended to the output
+    (the export sidecar keeps (repo, path) so packed files stay sorted
+    and debuggable by key without a join back to the index).
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
@@ -61,6 +66,7 @@ def pack_sequences(
     return df.select(
         id_col,
         *group_cols,
+        *keep_cols,
         n_tokens,
         tok_start.alias("tok_start"),
         F.floor(tok_start / F.lit(budget)).cast("long").alias("seq_id"),

@@ -110,6 +110,65 @@ def index_repartition(df: DataFrame, file_groups: int, id_col: str = "doc_id") -
     return df.repartition(n, F.pmod(F.xxhash64(F.col(id_col)), F.lit(file_groups)))
 
 
+def packing_frame(
+    df: DataFrame, budget: int, file_groups: int, lang_col
+) -> DataFrame:
+    """The ONE packing spec shared by export and refresh: documents →
+    (lang, file_group) training-sequence coordinates over the SAME
+    G-way hash groups the shard writer uses (`shard_file_group`), in
+    the shard's (repo, path) file order — so a training loader reading
+    shard file (lang, g) finds its windows in `_packing/lang=…/
+    file_group=g` with no re-tokenization.
+
+    One exchange total: the explicit repartition clusters each
+    (lang, g) stream into one shuffle partition, and the window's
+    required ClusteredDistribution(lang, file_group) is satisfied by
+    it, so Catalyst inserts NO second exchange (plan-gated in
+    test_packing). Each group packs sequentially by definition
+    (a running prefix sum); parallelism is n_langs × G, exactly the
+    shard-writer fan-out. ``df`` needs (doc_id, repo, path, lang,
+    text)."""
+    from ..operators.packing import pack_sequences
+
+    src = df.withColumn("file_group", shard_file_group(file_groups))
+    n = file_groups * _SHARD_WRITE_HEADROOM
+    src = src.repartition(n, lang_col, F.col("file_group"))
+    return pack_sequences(
+        src,
+        budget,
+        group_cols=("lang", "file_group"),
+        order_cols=("repo", "path"),
+        id_col="doc_id",
+        keep_cols=("repo", "path"),
+    )
+
+
+def write_packing(packed: DataFrame, dest: str, *, per_lang: bool = False) -> None:
+    """Write packing coordinates partitioned by (lang, file_group) —
+    or by file_group alone for a refresh's single-lang staging dir.
+    Rows sorted by the window's own (repo, path) order within each
+    group file, so refresh↔export file parity holds at group
+    granularity (each (lang, g) stream lives in one shuffle partition
+    ⇒ one file per group dir)."""
+    parts = ["file_group"] if per_lang else ["lang", "file_group"]
+    sort_cols = (
+        ["file_group", "repo", "path"]
+        if per_lang
+        else ["lang", "file_group", "repo", "path"]
+    )
+    if per_lang:
+        # lang is the STAGING DIR in refresh mode; keeping it in-file
+        # would desynchronize the file schema from the export's
+        # partitionBy layout (which moves lang into the dir name)
+        packed = packed.drop("lang")
+    (
+        packed.sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .partitionBy(*parts)
+        .parquet(dest)
+    )
+
+
 def export_training_mix(
     spark: SparkSession,
     table: SnapshotTable,
@@ -124,6 +183,7 @@ def export_training_mix(
     version: int | None = None,
     file_groups: int = 8,
     near_dup_threshold: float | None = None,
+    pack_budget: int | None = None,
 ) -> dict:
     """Export a curated training shard from snapshot ``version`` (default
     current). Returns the manifest dict (also written to
@@ -137,7 +197,16 @@ def export_training_mix(
     ``_near/pairs``: the verified pair graph) so the incremental
     refresh can regenerate exactly the pairs with a changed endpoint by
     probing the stored buckets — O(delta), never re-shingling the
-    corpus — and re-cluster only the affected components."""
+    corpus — and re-cluster only the affected components.
+
+    ``pack_budget``: when set, a SEQUENCE-PACKING stage runs over the
+    sampled survivors (operators/packing.py): per (lang, file_group)
+    — the shard writer's own G-way spec — documents in (repo, path)
+    order form one token stream chunked into ``pack_budget``-token
+    training windows. Coordinates land in ``_packing/lang=…/
+    file_group=…`` (one file per shard group), making shard-and-pack
+    a single reproducible artifact; refresh recomputes only affected
+    strata."""
     v = table.current_version() if version is None else version
     state = table.current_state(spark, version=v)
     docs = state.select(
@@ -307,6 +376,23 @@ def export_training_mix(
             .partitionBy("lang")
             .parquet(os.path.join(out_dir, "data"))
         )
+        if pack_budget is not None:
+            # packing coordinates over the surviving shard rows in the
+            # shard's own (lang, file_group, repo, path) order — the
+            # loader-facing "shard-and-pack" sidecar. Partition-aligned
+            # with the shard files (one coordinates file per (lang, g)
+            # group dir), so the refresh can re-derive affected strata
+            # only (plans/refresh.py) while untouched group dirs keep
+            # their bytes.
+            write_packing(
+                packing_frame(
+                    sampled.select("doc_id", "repo", "path", "lang", "text"),
+                    pack_budget,
+                    file_groups,
+                    F.col("lang"),
+                ),
+                os.path.join(out_dir, "_packing"),
+            )
         # id-level index (no text — tiny next to the corpus): one row per
         # live doc with its content sha and every curation decision. The
         # substrate for plans/refresh.py, which recomputes decisions ONLY
@@ -349,6 +435,7 @@ def export_training_mix(
             "benchmark_used": benchmark is not None,
             "file_groups": file_groups,
             "near_dup_threshold": near_dup_threshold,
+            "pack_budget": pack_budget,
             "counts": counts,
         }
         _atomic_write_json(manifest, os.path.join(out_dir, "_manifest.json"))

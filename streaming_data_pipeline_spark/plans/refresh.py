@@ -39,7 +39,15 @@ from ..operators.curation import (
     hash_stratified_sample,
     repetition_score,
 )
-from .export import SHARD_SCHEMA, index_repartition, sha_col, shard_repartition, write_index
+from .export import (
+    SHARD_SCHEMA,
+    index_repartition,
+    packing_frame,
+    sha_col,
+    shard_repartition,
+    write_index,
+    write_packing,
+)
 from .lake import SnapshotTable, _atomic_write_json
 
 # Verbatim port of Spark's ExternalCatalogUtils.escapePathName character
@@ -54,6 +62,13 @@ _CHARS_TO_ESCAPE = set(
     + ['"', "#", "%", "'", "*", "/", ":", "=", "?", "\\", "\x7f", "{", "[", "]", "^"]
 )
 _HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+# on-disk schema of one staged shard partition (lang lives in the dir
+# name, not the file) — explicit so an emptied stratum's 0-row staging
+# read never falls over on inference
+_SHARD_FILE_SCHEMA = T.StructType(
+    [f for f in SHARD_SCHEMA.fields if f.name != "lang"]
+)
 
 
 def _escape_partition_value(value: str | None) -> str:
@@ -219,14 +234,18 @@ def _recover_interrupted_swaps(out_dir: str) -> None:
     stray _tmp/_new staging is always discardable (it is re-derived)."""
     import shutil
 
-    data = os.path.join(out_dir, "data")
-    if os.path.isdir(data):
-        for name in sorted(os.listdir(data)):
-            full = os.path.join(data, name)
+    # the _packing sidecar swaps lang dirs with the same protocol as the
+    # shard data, so the same recovery applies to both
+    for seg in ("data", "_packing"):
+        d = os.path.join(out_dir, seg)
+        if not os.path.isdir(d):
+            continue
+        for name in sorted(os.listdir(d)):
+            full = os.path.join(d, name)
             if name.startswith("_tmp_lang="):
                 shutil.rmtree(full)
             elif name.startswith("_old_lang="):
-                live = os.path.join(data, name[len("_old_"):])
+                live = os.path.join(d, name[len("_old_"):])
                 if os.path.exists(live):
                     shutil.rmtree(full)
                 else:
@@ -717,6 +736,7 @@ def refresh_training_mix(
         return F.col("lang") == F.lit(lang)
 
     file_groups = int(man.get("file_groups", 1))
+    pack_budget = man.get("pack_budget")
     # STAGE every rewritten partition first, swap NOTHING yet: a
     # persisted frame is not a durability barrier — under memory
     # pressure an evicted partition lazily re-reads its source files,
@@ -740,16 +760,42 @@ def refresh_training_mix(
         # its row set. (Degenerate ''-lang rows hash as null here vs ''
         # in the export — row-set equality still holds for that stratum;
         # layout parity is only claimed for real langs.)
+        tmp_dir = os.path.join(
+            out_dir, "data", f"_tmp_lang={_escape_partition_value(lang)}"
+        )
         (
             shard_repartition(part, file_groups, F.lit(lang).cast("string"))
             .sortWithinPartitions("repo", "path")
             .write.mode("overwrite")
-            .parquet(
-                os.path.join(
-                    out_dir, "data", f"_tmp_lang={_escape_partition_value(lang)}"
-                )
-            )
+            .parquet(tmp_dir)
         )
+        if pack_budget is not None:
+            # packing coordinates shift for every doc AFTER a change
+            # point in its (lang, file_group) stream, so the affected
+            # stratum's packing is re-derived wholesale — from the
+            # DURABLY staged shard tmp (no lineage into dirs the swap
+            # below rewrites), with the export's exact packing spec, so
+            # untouched group streams reproduce their bytes and changed
+            # ones land exactly where a full export would put them.
+            # (Degenerate ''/null langs collapse to one null stratum
+            # here — same caveat as the shard layout note above;
+            # packing parity is claimed for real langs.)
+            staged = spark.read.schema(_SHARD_FILE_SCHEMA).parquet(tmp_dir)
+            pdoc = staged.select(
+                F.xxhash64("repo", "path").alias("doc_id"),
+                "repo",
+                "path",
+                "text",
+            ).withColumn("lang", F.lit(lang).cast("string"))
+            write_packing(
+                packing_frame(pdoc, pack_budget, file_groups, F.col("lang")),
+                os.path.join(
+                    out_dir,
+                    "_packing",
+                    f"_tmp_lang={_escape_partition_value(lang)}",
+                ),
+                per_lang=True,
+            )
 
     _mark("partition-staging")
     # new index + manifest (counts from id-level aggregates)
@@ -871,7 +917,8 @@ def refresh_training_mix(
         seg = _escape_partition_value(lang)
         tmp = os.path.join(data, f"_tmp_lang={seg}")
         dest = os.path.join(data, f"lang={seg}")
-        if _parquet_rows(tmp) == 0:
+        emptied = _parquet_rows(tmp) == 0
+        if emptied:
             # a fully-emptied partition is REMOVED, matching a full
             # export (partitionBy writes no dir for an empty stratum) —
             # installing a 0-row dir would accumulate dead partitions.
@@ -882,6 +929,19 @@ def refresh_training_mix(
             shutil.rmtree(dest, ignore_errors=True)
         else:
             _swap_in(tmp, dest, os.path.join(data, f"_old_lang={seg}"))
+        if pack_budget is not None:
+            # the packing sidecar swaps in lockstep with its stratum:
+            # an emptied stratum loses its coordinates dir too (a full
+            # export writes none), otherwise the staged recompute
+            # replaces the live one under the same torn-swap recovery
+            pdir = os.path.join(out_dir, "_packing")
+            ptmp = os.path.join(pdir, f"_tmp_lang={seg}")
+            pdest = os.path.join(pdir, f"lang={seg}")
+            if emptied:
+                shutil.rmtree(ptmp, ignore_errors=True)
+                shutil.rmtree(pdest, ignore_errors=True)
+            else:
+                _swap_in(ptmp, pdest, os.path.join(pdir, f"_old_lang={seg}"))
     # SIDECARS BEFORE THE INDEX: a crash-recovery rerun derives the
     # invalidation set A from the live index, so the index must still be
     # v0 until the sidecars landed. With this order every crash window

@@ -86,3 +86,146 @@ def test_pack_plan_single_exchange_no_python(spark):
     plan = pack_sequences(df, 8)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1  # the window partitioning, nothing else
     assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def test_packing_frame_plan_one_exchange_g_way(spark):
+    """The export packing spec (VERDICT r4 next #4): the explicit
+    G-way (lang, file_group) repartition must SATISFY the window's
+    required clustering — exactly one exchange in the whole plan, at
+    file_groups * headroom width, and no Python."""
+    from streaming_data_pipeline_spark.plans.export import (
+        _SHARD_WRITE_HEADROOM,
+        packing_frame,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "r", "a.py", "py", "a b c"), (2, "r", "b.py", "py", "d e")],
+        "doc_id long, repo string, path string, lang string, text string",
+    )
+    out = packing_frame(df, 8, 4, F.col("lang"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert f"{4 * _SHARD_WRITE_HEADROOM}" in plan  # explicit width, AQE-proof
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def _pack_rows(spark, out):
+    import pyspark.sql.functions as SF
+
+    return {
+        tuple(r)
+        for r in spark.read.parquet(f"{out}/_packing")
+        .select(
+            "doc_id", "repo", "path",
+            SF.col("lang").cast("string"),
+            SF.col("file_group").cast("long"),
+            "n_tokens", "tok_start", "seq_id", "offset_in_seq",
+        )
+        .collect()
+    }
+
+
+def test_export_pack_budget_writes_group_aligned_sidecar(spark, tmp_path):
+    """shard-and-pack as ONE artifact: _packing/lang=…/file_group=…
+    mirrors the shard's G-way groups, coordinates restart per group,
+    and re-export reproduces the identical sidecar."""
+    import os
+
+    from streaming_data_pipeline_spark.plans.export import export_training_mix
+    from streaming_data_pipeline_spark.plans.lake import SnapshotTable
+    from streaming_data_pipeline_spark.schemas import CHANGE_EVENT, LAKE_BASE
+    from streaming_data_pipeline_spark.streaming.apply import apply_changes
+
+    table = SnapshotTable.create(str(tmp_path / "lake"), LAKE_BASE, n_buckets=8)
+    rows = [
+        ("insert", "r", f"f{i}.py", f"c{i}", ["python", "go"][i % 2],
+         " ".join(f"w{i}x{j}" for j in range(i % 7 + 4)), i + 1, None, None)
+        for i in range(30)
+    ]
+    apply_changes(spark, table, spark.createDataFrame(rows, CHANGE_EVENT), 0)
+
+    out = str(tmp_path / "mix")
+    man = export_training_mix(
+        spark, table, out, rates={}, default_rate=100,
+        file_groups=4, pack_budget=16,
+    )
+    assert man["pack_budget"] == 16
+
+    packs = _pack_rows(spark, out)
+    assert len(packs) == man["counts"]["sampled"]
+    # group-aligned layout on disk
+    langs = os.listdir(f"{out}/_packing")
+    assert any(d.startswith("lang=") for d in langs)
+    # coordinates restart per (lang, file_group): every group's minimum
+    # tok_start is 0 and the stream is contiguous (sum of n_tokens)
+    import collections
+
+    by_group = collections.defaultdict(list)
+    for (_, repo, path, lang, fg, n_tok, tok_start, _seq, _off) in packs:
+        by_group[(lang, fg)].append((repo, path, n_tok, tok_start))
+    for g, docs in by_group.items():
+        docs.sort(key=lambda d: (d[0], d[1]))
+        cum = 0
+        for (_, _, n_tok, tok_start) in docs:
+            assert tok_start == cum, g
+            cum += n_tok
+
+    # byte-identical re-export (row-set + per-file layout)
+    outB = str(tmp_path / "mixB")
+    export_training_mix(
+        spark, table, outB, rates={}, default_rate=100,
+        file_groups=4, pack_budget=16,
+    )
+    assert _pack_rows(spark, outB) == packs
+
+
+def test_refresh_maintains_packing(spark, tmp_path):
+    """VERDICT r4 next #5: a delta shifts packing coordinates only
+    within affected strata — refresh must land the sidecar exactly
+    where a full re-export would, including removed docs and an
+    emptied stratum."""
+    from streaming_data_pipeline_spark.plans.export import export_training_mix
+    from streaming_data_pipeline_spark.plans.lake import SnapshotTable
+    from streaming_data_pipeline_spark.plans.refresh import refresh_training_mix
+    from streaming_data_pipeline_spark.schemas import CHANGE_EVENT, LAKE_BASE
+    from streaming_data_pipeline_spark.streaming.apply import apply_changes
+
+    table = SnapshotTable.create(str(tmp_path / "lake"), LAKE_BASE, n_buckets=8)
+    rows = [
+        ("insert", "r", f"f{i}.py", f"c{i}", ["python", "go", "rust"][i % 3],
+         " ".join(f"w{i}x{j}" for j in range(i % 7 + 4)), i + 1, None, None)
+        for i in range(30)
+    ]
+    apply_changes(spark, table, spark.createDataFrame(rows, CHANGE_EVENT), 0)
+    out = str(tmp_path / "mix")
+    export_training_mix(
+        spark, table, out, rates={}, default_rate=100,
+        file_groups=4, pack_budget=16,
+    )
+
+    # delta: update one python doc (shifts its group's suffix), delete
+    # another, add a go doc, and empty the rust stratum entirely
+    delta = [
+        ("update", "r", "f0.py", "c100", "python", "tok0 longer now " * 3, 100, None, None),
+        ("delete", "r", "f3.py", "c101", "python", None, 101, None, None),
+        ("insert", "r", "new.go", "c102", "go", "fresh go doc tokens", 102, None, None),
+    ] + [
+        ("delete", "r", f"f{i}.py", f"c{110 + i}", "rust", None, 110 + i, None, None)
+        for i in range(2, 30, 3)
+    ]
+    apply_changes(spark, table, spark.createDataFrame(delta, CHANGE_EVENT), 1)
+
+    manR = refresh_training_mix(spark, table, out)
+    outB = str(tmp_path / "mixB")
+    manF = export_training_mix(
+        spark, table, outB, rates={}, default_rate=100,
+        file_groups=4, pack_budget=16,
+    )
+    assert manR["counts"] == manF["counts"]
+    assert _pack_rows(spark, out) == _pack_rows(spark, outB)
+
+    # the emptied rust stratum lost its packing dir, like the export
+    import os
+
+    assert not os.path.exists(f"{out}/_packing/lang=rust")
+    assert not os.path.exists(f"{outB}/_packing/lang=rust")

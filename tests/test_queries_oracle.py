@@ -33,6 +33,8 @@ FAST_QUERIES = [
     "token_stats",
     "sequence_packing",      # concat-and-chunk window cumsum (r4)
     "packing_stats",         # straddler accounting (r4)
+    "packed_shard_spec",     # G-way (lang, file_group) packing twin (r5)
+    "export_packed_shard",   # integrated shard-and-pack export (r5)
     "multimodal_binary_stats",
     "frame_sample",          # stub fan-out fully oracled (r3)
     "post_compaction_state", # compaction invisibility as a graded row (r3)
