@@ -22,7 +22,7 @@ Scale analysis (the part that must survive 100 TB):
   semi/anti pair yields the batch's brand-new keys — leaving the
   bucket-clustering write as the base's ONLY shuffle. The gate is
   size-aware: batches above SDP_COW_BROADCAST_MAX_ROWS (default 4M)
-  OR an estimated SDP_COW_BROADCAST_MAX_BYTES (default 128 MiB —
+  OR an estimated SDP_COW_BROADCAST_MAX_BYTES (default 256 MiB —
   octet_length-measured, so wide `content` batches are caught) fall
   back to the classic full-outer sort-merge join, where composite-key
   hashing spreads hot repos and AQE skew-join covers residual skew
@@ -114,7 +114,10 @@ def cow_broadcast_decision(rows: int, est_bytes: int) -> bool:
     autoBroadcastJoinThreshold). Env-overridable:
 
     - ``SDP_COW_BROADCAST_MAX_ROWS``  (default 4,000,000 keys)
-    - ``SDP_COW_BROADCAST_MAX_BYTES`` (default 128 MiB)
+    - ``SDP_COW_BROADCAST_MAX_BYTES`` (default 256 MiB — above the
+      ~180 MB microbatch the r4 bench measured broadcast WINNING on
+      (BENCH.md COW section), below the GB-scale wide-batch hazard
+      the row-only gate admitted)
 
     A narrow-keyed batch of many rows still broadcasts; a wide batch
     over the byte cap falls back to the full-outer sort-merge join."""
@@ -122,7 +125,7 @@ def cow_broadcast_decision(rows: int, est_bytes: int) -> bool:
 
     max_rows = int(_os.environ.get("SDP_COW_BROADCAST_MAX_ROWS", "4000000"))
     max_bytes = int(
-        _os.environ.get("SDP_COW_BROADCAST_MAX_BYTES", str(128 * 1024 * 1024))
+        _os.environ.get("SDP_COW_BROADCAST_MAX_BYTES", str(256 * 1024 * 1024))
     )
     return rows <= max_rows and est_bytes <= max_bytes
 

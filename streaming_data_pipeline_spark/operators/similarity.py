@@ -203,6 +203,53 @@ def ivf_assign_rows(
     )
 
 
+def ivf_cell_sums(assigned: DataFrame, n_cells: int, dim: int):
+    """Per-cell vector sums + counts for Lloyd refinement, as ONE Arrow
+    partial-aggregation kernel: each task folds its batches into an
+    (n_cells × dim) numpy accumulator (map-side combine), emits at most
+    n_cells partial rows, and the driver reduces ≤ tasks × n_cells
+    rows — bounded metadata, like every other collect in this package.
+
+    Replaces the former per-dimension ``F.avg(element_at(u, j))``
+    aggregate (VERDICT r4 next #8): `dim` separate aggregate
+    expressions are an expression-tree/codegen blowup at embedding
+    dims 512–4096, while this kernel's cost is one scatter-add per
+    batch regardless of dim. Returns (sums, counts) numpy arrays."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        sums = np.zeros((n_cells, dim), dtype=np.float64)
+        counts = np.zeros(n_cells, dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            seen = True
+            cells = pdf["cell"].to_numpy().astype(np.int64)
+            mat = np.stack(pdf["u"].to_numpy()).astype(np.float64)
+            np.add.at(sums, cells, mat)
+            counts += np.bincount(cells, minlength=n_cells)
+        if not seen:
+            return
+        nz = np.nonzero(counts)[0]
+        yield pd.DataFrame(
+            {
+                "cell": nz.astype(np.int32),
+                "s": list(sums[nz]),
+                "n": counts[nz],
+            }
+        )
+
+    partials = assigned.mapInPandas(gen, "cell int, s array<double>, n long")
+    sums = np.zeros((n_cells, dim), dtype=np.float64)
+    counts = np.zeros(n_cells, dtype=np.int64)
+    for row in partials.collect():  # bounded: <= tasks * n_cells rows
+        sums[row["cell"]] += np.asarray(row["s"], dtype=np.float64)
+        counts[row["cell"]] += row["n"]
+    return sums, counts
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -222,10 +269,11 @@ def ivf_ann_topk(
     cells and re-rank candidates by exact cosine.
 
     ``refine_iters`` runs that many Lloyd iterations on the seeds:
-    assign → per-cell mean → renormalize. Each iteration is one
-    (assign, groupBy-avg) aggregation pair whose result is n_cells
-    rows — a bounded collect — so refinement cost is O(iters · corpus)
-    map work, no extra wide shuffles.
+    assign → per-cell mean → renormalize. Each iteration is the
+    map-only assignment kernel followed by ONE Arrow partial-sum
+    kernel (:func:`ivf_cell_sums`) whose driver reduce sees at most
+    tasks × n_cells rows — a bounded collect, a dim-independent plan,
+    and no wide shuffle at any embedding dimension.
 
     Plan shape at scale: centroids are tiny (n_cells rows, collected
     once and shipped in the assignment kernel's closure); cell
@@ -269,16 +317,15 @@ def ivf_ann_topk(
         assigned = ivf_assign_rows(corpus, centroids, 1, vec_col, id_col).select(
             F.col("cells")[0].alias("cell"), F.col("unit").alias("u")
         )
-        means = (
-            assigned.groupBy("cell")
-            .agg(*[F.avg(F.element_at(F.col("u"), j + 1)).alias(f"m{j}") for j in range(dim_len)])
-            .collect()
-        )  # bounded: n_cells rows
+        # one Arrow partial-sum kernel per iteration — dim-independent
+        # plan (the former dim-separate avg aggregates blew up the
+        # expression tree at dim 512-4096; VERDICT r4 next #8)
+        sums, counts = ivf_cell_sums(assigned, n_cells, dim_len)
         new_cents = list(centroids)
-        for row in means:
-            v = [row[f"m{j}"] for j in range(dim_len)]
-            norm = sum(x * x for x in v) ** 0.5 or 1.0
-            new_cents[row["cell"]] = [x / norm for x in v]
+        for cell in np.nonzero(counts)[0]:
+            v = sums[cell] / counts[cell]
+            norm = float(np.linalg.norm(v)) or 1.0
+            new_cents[int(cell)] = (v / norm).tolist()
         centroids = new_cents
 
     c_assigned = ivf_assign_rows(corpus, centroids, 1, vec_col, id_col).select(
