@@ -766,7 +766,8 @@ def test_near_refresh_fuzz_20_deltas(spark, tmp_path):
 
     out = str(tmp_path / "s")
     export_training_mix(
-        spark, table, out, rates=RATES, default_rate=100, near_dup_threshold=0.6
+        spark, table, out, rates=RATES, default_rate=100,
+        near_dup_threshold=0.6, pack_budget=32,
     )
 
     def random_delta():
@@ -811,13 +812,15 @@ def test_near_refresh_fuzz_20_deltas(spark, tmp_path):
         manR = refresh_training_mix(spark, table, out)
         outB = str(tmp_path / f"full{step}")
         manF = export_training_mix(
-            spark, table, outB, rates=RATES, default_rate=100, near_dup_threshold=0.6
+            spark, table, outB, rates=RATES, default_rate=100,
+            near_dup_threshold=0.6, pack_budget=32,
         )
         assert manR["counts"] == manF["counts"], f"step {step}"
         assert _shard_rows(spark, out) == _shard_rows(spark, outB), f"step {step}"
         assert _index_rows(spark, out) == _index_rows(spark, outB), f"step {step}"
         assert _rows(spark, f"{out}/_near/pairs") == _rows(spark, f"{outB}/_near/pairs"), f"step {step}"
         assert _rows(spark, f"{out}/_near/bands") == _rows(spark, f"{outB}/_near/bands"), f"step {step}"
+        assert _rows(spark, f"{out}/_packing") == _rows(spark, f"{outB}/_packing"), f"step {step}"
 
 
 def test_near_refresh_recovers_from_torn_sidecar_swap(spark, tmp_path):
@@ -876,3 +879,119 @@ def test_near_refresh_recovers_from_torn_sidecar_swap(spark, tmp_path):
         assert rows_of(f"{d}/_near/bands") == want_bands, keep
         assert _index_rows(spark, d) == want_idx, keep
         assert _shard_rows(spark, d) == want_shard, keep
+
+
+def test_refresh_fuzz_maintenance_interleaved(spark, tmp_path):
+    """VERDICT r4 next #7: interleave the whole maintenance op pool —
+    compact, rebucket, expire_snapshots, purge_tombstones (all
+    feed-invisible base rewrites) — plus feed-visible rollbacks into a
+    seeded delta chain over a NEAR-mode PACKED shard, asserting
+    refresh == full re-export after every step. Maintenance must be
+    invisible to the refresh (no spurious shard/index/packing changes)
+    and must not break its O(delta) feed reads."""
+    import random
+
+    from streaming_data_pipeline_spark.plans import maintenance
+
+    rng = random.Random(7)
+    WORDS = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+
+    def family_text(fam: int, tail: int) -> str:
+        return " ".join(f"{w}f{fam}" for w in WORDS) + f" tail{tail}\n"
+
+    def unique_text(i: int) -> str:
+        return " ".join(f"uq{i}w{j}" for j in range(10)) + "\n"
+
+    langs = ["python", "go", "java"]
+    table = SnapshotTable.create(str(tmp_path / "lake"), LAKE_BASE, n_buckets=8)
+    lsn = 0
+    tail = 0
+    uniq = 0
+    present: list[str] = []
+
+    def mk(op, path, content, lang):
+        nonlocal lsn
+        lsn += 1
+        return _ev(op, path, lsn, content, lang)
+
+    rows = []
+    for fam in range(3):
+        for _ in range(3):
+            tail += 1
+            rows.append(mk("insert", f"d{tail}_{fam}.py", family_text(fam, tail), rng.choice(langs)))
+            present.append(rows[-1][2])
+    for _ in range(3):
+        uniq += 1
+        tail += 1
+        rows.append(mk("insert", f"u{tail}.py", unique_text(uniq), rng.choice(langs)))
+        present.append(rows[-1][2])
+    apply_changes(spark, table, _batch(spark, rows), 0)
+
+    out = str(tmp_path / "s")
+    export_training_mix(
+        spark, table, out, rates=RATES, default_rate=100,
+        near_dup_threshold=0.6, pack_budget=32, file_groups=2,
+    )
+
+    def random_delta():
+        nonlocal tail, uniq
+        ops = []
+        for _ in range(rng.randint(1, 3)):
+            r = rng.random()
+            if r < 0.35 and present:
+                p = rng.choice(present)
+                fam = rng.randint(0, 3)
+                tail += 1
+                ops.append(mk("update", p, family_text(fam, tail), rng.choice(langs)))
+            elif r < 0.6:
+                fam = rng.randint(0, 3)
+                tail += 1
+                p = f"d{tail}_{fam}.py"
+                ops.append(mk("insert", p, family_text(fam, tail), rng.choice(langs)))
+                present.append(p)
+            elif r < 0.8 or not present:
+                uniq += 1
+                tail += 1
+                p = f"u{tail}.py"
+                ops.append(mk("insert", p, unique_text(uniq), rng.choice(langs)))
+                present.append(p)
+            else:
+                p = rng.choice(present)
+                present.remove(p)
+                ops.append(mk("delete", p, None, None))
+        return ops
+
+    # the maintenance schedule cycles the WHOLE pool, including a
+    # round-trip rebucket (8 -> 12 -> 8); expire keeps a horizon deep
+    # enough that the next refresh's change feed is never truncated
+    maint_ops = [
+        lambda: maintenance.compact(spark, table, max_files_per_bucket=1),
+        lambda: maintenance.rebucket(spark, table, 12),
+        lambda: maintenance.expire_snapshots(table, keep_last=10),
+        lambda: maintenance.purge_tombstones(spark, table, lsn_horizon=max(1, lsn - 30)),
+        lambda: maintenance.rebucket(spark, table, 8),
+    ]
+
+    for step in range(1, 11):
+        if step % 4 == 2:
+            # feed-visible rollback inside the same chain
+            v_pre = table.current_version()
+            snap_present = list(present)
+            apply_changes(spark, table, _batch(spark, random_delta()), step * 10)
+            table.rollback(v_pre, spark)
+            present[:] = snap_present
+        apply_changes(spark, table, _batch(spark, random_delta()), step * 10 + 1)
+        if step % 2 == 0:
+            maint_ops[(step // 2 - 1) % len(maint_ops)]()
+
+        manR = refresh_training_mix(spark, table, out)
+        outB = str(tmp_path / f"full{step}")
+        manF = export_training_mix(
+            spark, table, outB, rates=RATES, default_rate=100,
+            near_dup_threshold=0.6, pack_budget=32, file_groups=2,
+        )
+        assert manR["counts"] == manF["counts"], f"step {step}"
+        assert _shard_rows(spark, out) == _shard_rows(spark, outB), f"step {step}"
+        assert _index_rows(spark, out) == _index_rows(spark, outB), f"step {step}"
+        assert _rows(spark, f"{out}/_near/pairs") == _rows(spark, f"{outB}/_near/pairs"), f"step {step}"
+        assert _rows(spark, f"{out}/_packing") == _rows(spark, f"{outB}/_packing"), f"step {step}"
