@@ -128,7 +128,31 @@ def apply_changes(
         # at full utilization the two branches serialize on cores.
         from concurrent.futures import ThreadPoolExecutor
 
-        def dlq_branch() -> int:
+        # Hoisted payload key scan (payload-pruned, the cheap plan): the
+        # candidate NEW-key set must exist BEFORE the DLQ job launches so
+        # per-candidate invalid-carrier aggregates can ride the DLQ
+        # write's own scan as Observation metrics — confirmation of
+        # DLQ-only keys then costs ZERO extra scans (evolve_and_promote's
+        # invalid_counts path), where the previous valid-split scan
+        # re-ran on every epoch an adversarial stream kept candidates
+        # visible. evolve_and_promote skips its own scan via
+        # precomputed_counts.
+        from .evolve import candidate_new_keys, payload_key_counts
+
+        key_counts = payload_key_counts(df)
+        cand_keys = sorted(
+            candidate_new_keys(key_counts, table.schema(), table.column_renames)
+        )
+        cand_exprs = [
+            F.sum(
+                F.when(F.col("payload").getItem(k).isNotNull(), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias(f"c{i}")
+            for i, k in enumerate(cand_keys)
+        ]
+
+        def dlq_branch() -> tuple[int, dict[str, int] | None]:
             # repartition, NOT coalesce: coalesce's narrow dependency
             # would collapse the whole upstream scan+validate into k
             # tasks (measured: serialized every epoch); the shuffle
@@ -141,8 +165,16 @@ def apply_changes(
             # running a transient stage (e.g. stage='transformation',
             # error_type='TimeoutError') must be able to produce
             # retryable rows — otherwise replay_dlq never has candidates
+            inv_src = invalid
+            cand_obs = None
+            if cand_exprs:
+                # candidate invalid-carrier counts ride the write's scan
+                # of the invalid split — observed BEFORE enrichment so the
+                # payload column is still in scope
+                cand_obs = Observation(f"dlq-cand-{epoch}")
+                inv_src = inv_src.observe(cand_obs, *cand_exprs)
             dlq = enrich_dead_letters(
-                invalid, stage=stage, error_type=error_type,
+                inv_src, stage=stage, error_type=error_type,
                 epoch=epoch, keep_content=dlq_keep_content,
             )
             obs = Observation(f"dlq-{epoch}")
@@ -150,22 +182,44 @@ def apply_changes(
             dlq_fan_out(
                 dlq.observe(obs, F.count(F.lit(1)).alias("n"))
             ).write.mode("overwrite").parquet(dest)
+            inv_counts: dict[str, int] | None = None
+            if cand_obs is not None:
+                try:
+                    got = cand_obs.get
+                    inv_counts = {
+                        k: int(got[f"c{i}"] or 0) for i, k in enumerate(cand_keys)
+                    }
+                except Exception:
+                    # observation folded away — evolve falls back to the
+                    # valid-split confirmation scan
+                    inv_counts = None
             try:
-                return int(obs.get["n"] or 0)
+                return int(obs.get["n"] or 0), inv_counts
             except Exception:
                 # empty batch: observe node may be planned away — count
                 # from the written parquet footers instead
                 import pyarrow.parquet as pq
 
-                return sum(
+                n = sum(
                     pq.ParquetFile(os.path.join(dest, f)).metadata.num_rows
                     for f in os.listdir(dest)
                     if f.endswith(".parquet")
                 )
+                return n, inv_counts
 
         t0 = _time.time()
         with ThreadPoolExecutor(max_workers=1) as pool:
             dlq_future = pool.submit(dlq_branch)
+
+            # candidate new keys this epoch: confirmation needs the DLQ
+            # job's invalid-carrier observation, so join it here (the
+            # rare epochs that pay this lose only the thread overlap —
+            # never an extra scan). Steady state skips the wait and the
+            # DLQ job keeps overlapping the apply.
+            n_dlq: int | None = None
+            invalid_counts: dict[str, int] | None = {}
+            if cand_keys:
+                n_dlq, invalid_counts = dlq_future.result()
 
             t1 = _time.time()
             # accepted renames persist in table metadata so the mapping is
@@ -181,9 +235,11 @@ def apply_changes(
                 # drags the wide column through the key-scan (measured
                 # 5-6x slower); see evolve_and_promote's key_source note
                 key_source=df,
-                # but CONFIRM any candidate new key against the valid
-                # split (rare epochs only) so DLQ-only keys can't grow
-                # the schema (ADVICE r4)
+                precomputed_counts=key_counts,
+                # CONFIRM any candidate new key so DLQ-only keys can't
+                # grow the schema (ADVICE r4): zero-scan subtraction via
+                # the DLQ observation, valid-split scan as fallback
+                invalid_counts=invalid_counts,
                 confirm_source=valid,
             )
             _mark("schema_evolve", t1)
@@ -200,7 +256,8 @@ def apply_changes(
                 column_renames=evolution["renamed_columns"] or None,
             )
             _mark("apply_" + mode, t1)
-            n_dlq = dlq_future.result()
+            if n_dlq is None:
+                n_dlq, _ = dlq_future.result()
         _mark("epoch_jobs_wall", t0)
         stats["dlq_rows"] = int(n_dlq)
         stats["schema_evolution"] = evolution

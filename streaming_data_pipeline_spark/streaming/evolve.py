@@ -63,6 +63,27 @@ def payload_key_counts(
     return {r["k"]: r["n"] for r in rows}
 
 
+def candidate_new_keys(
+    counts: dict[str, int],
+    table_schema: T.StructType,
+    known_renames: dict[str, str] | None = None,
+) -> set[str]:
+    """The pre-confirmation NEW-key candidate set — one definition shared
+    by `evolve_and_promote` and the apply path's DLQ-observe confirmation
+    (apply.py builds per-candidate invalid-carrier aggregates from this
+    exact set, so the two must never drift)."""
+    known_renames = dict(known_renames or {})
+    known_extras = {f.name for f in table_schema.fields if f.name not in LAKE_BASE_COLS}
+    return {
+        k
+        for k in counts
+        if k not in known_extras
+        and k not in RESERVED_COLS
+        and not k.startswith("_")
+        and k not in known_renames
+    }
+
+
 def evolve_and_promote(
     df: DataFrame,
     table_schema: T.StructType,
@@ -71,6 +92,8 @@ def evolve_and_promote(
     known_renames: dict[str, str] | None = None,
     key_source: DataFrame | None = None,
     confirm_source: DataFrame | None = None,
+    precomputed_counts: dict[str, int] | None = None,
+    invalid_counts: dict[str, int] | None = None,
 ) -> tuple[DataFrame, T.StructType, dict]:
     """Promote payload keys to columns; return (df_with_promoted_columns,
     new_table_schema, evolution_report). ``df`` keeps CHANGE_EVENT shape
@@ -98,12 +121,34 @@ def evolve_and_promote(
     permanently promote all-null columns — malformed or adversarial
     events could grow the table schema even though their rows never
     land (ADVICE r4). The confirmation aggregate runs ONLY on epochs
-    that detect candidate new keys (rare), so the steady-state key
-    scan keeps the cheap payload-pruned plan; deferred keys promote
-    naturally at DLQ-replay time once their rows validate."""
+    that detect candidate new keys, so the steady-state key scan keeps
+    the cheap payload-pruned plan; deferred keys promote naturally at
+    DLQ-replay time once their rows validate.
+
+    ``invalid_counts`` — per-candidate carrier counts among INVALID
+    rows, measured for free by the apply path as Observation aggregates
+    riding the DLQ write's own scan (see apply.py). When provided,
+    confirmation is pure arithmetic — a candidate whose total carriers
+    (from the payload-pruned key scan) all sit in the invalid split is
+    DLQ-only and defers — and the ``confirm_source`` scan never runs.
+    This closes the residual cost of the r5 deferral fix: with the
+    scan-based confirmation, a stream that KEEPS sending DLQ-only keys
+    (adversarial invalid traffic) re-triggered a content-bearing scan
+    of the valid split EVERY epoch; with subtraction the marginal cost
+    of confirmation is zero regardless of traffic. ``confirm_source``
+    remains the fallback when the observation is unavailable (e.g. an
+    empty-plan corner the optimizer folds away).
+
+    ``precomputed_counts`` — the key_source aggregate, when the caller
+    already ran it (the apply path hoists it to derive the candidate
+    set before submitting the DLQ job); skips the redundant scan."""
     known_renames = dict(known_renames or {})
     known_extras = [f.name for f in table_schema.fields if f.name not in LAKE_BASE_COLS]
-    counts = payload_key_counts(df if key_source is None else key_source)
+    counts = (
+        precomputed_counts
+        if precomputed_counts is not None
+        else payload_key_counts(df if key_source is None else key_source)
+    )
     # effective payload source keys per existing column, as an ordered
     # COALESCE CHAIN, not a single winner: a column renamed more than once
     # across epochs has several persisted keys mapping to it, and a
@@ -133,23 +178,27 @@ def evolve_and_promote(
     reserved_ignored = sorted(
         k for k in counts if k in RESERVED_COLS or k.startswith("_")
     )
-    fresh = {
-        k
-        for k in counts
-        if k not in known_extras
-        and k not in RESERVED_COLS
-        and not k.startswith("_")
-        and k not in known_renames
-    }
+    fresh = candidate_new_keys(counts, table_schema, known_renames)
     deferred: list[str] = []
-    if confirm_source is not None and fresh:
-        # rare path (only epochs that detect candidate keys): one
-        # aggregate over the valid split restricted to the candidates —
-        # a key no valid row carries must not evolve the schema, and it
-        # must not feed the rename heuristic either
+    confirm_via = None
+    if fresh and invalid_counts is not None:
+        # zero-scan confirmation: a key whose every carrier is invalid
+        # (total carriers == invalid carriers) must not evolve the
+        # schema, and must not feed the rename heuristic either
+        deferred = sorted(
+            k for k in fresh if counts.get(k, 0) <= invalid_counts.get(k, 0)
+        )
+        fresh -= set(deferred)
+        confirm_via = "dlq_observe"
+    elif confirm_source is not None and fresh:
+        # fallback path: one aggregate over the valid split restricted
+        # to the candidates (content-bearing — the validity predicate
+        # reads the wide column, which is why the apply path prefers
+        # the observation arithmetic above)
         confirmed = payload_key_counts(confirm_source, only=fresh)
         deferred = sorted(k for k in fresh if confirmed.get(k, 0) == 0)
         fresh -= set(deferred)
+        confirm_via = "valid_scan"
     new_keys = sorted(fresh | set(revived))
     silent = sorted(
         c for c in known_extras if all(counts.get(k, 0) == 0 for k in srcs_for[c])
@@ -196,6 +245,7 @@ def evolve_and_promote(
         "applied_renames": {**known_renames, **renames},
         "reserved_keys_ignored": reserved_ignored,
         "deferred_keys": deferred,
+        "confirm_via": confirm_via,
     }
     if deferred:
         log.warning(

@@ -320,3 +320,66 @@ def test_confirm_source_defers_unseen_keys_unit(spark):
     assert report["added_columns"] == []
     assert report["deferred_keys"] == ["stargazers"]
     assert [f.name for f in new_schema.fields] == [f.name for f in schema.fields]
+
+
+def test_invalid_counts_subtraction_unit(spark):
+    """evolve_and_promote(invalid_counts=...): zero-scan confirmation —
+    a candidate whose total carriers all sit in the invalid split
+    defers; a mixed-carrier candidate promotes. No confirm_source frame
+    is touched (None) and the report names the mechanism."""
+    batch = spark.createDataFrame(
+        [
+            _ev("insert", "r", "a.py", 1, {"good_key": "1", "bad_key": "x"}),
+            _ev("insert", "r", "b.py", 2, {"bad_key": "y"}),
+        ],
+        CH,
+    )
+    counts = {"good_key": 1, "bad_key": 2}
+    out, new_schema, report = evolve_and_promote(
+        batch,
+        LAKE_BASE,
+        key_source=batch,
+        precomputed_counts=counts,
+        invalid_counts={"bad_key": 2},  # every bad_key carrier is invalid
+        confirm_source=None,
+    )
+    assert report["confirm_via"] == "dlq_observe"
+    assert report["deferred_keys"] == ["bad_key"]
+    assert report["added_columns"] == ["good_key"]
+    names = [f.name for f in new_schema.fields]
+    assert "good_key" in names and "bad_key" not in names
+
+
+def test_apply_confirms_dlq_only_keys_without_valid_scan(spark, tmp_path):
+    """The apply path confirms candidates by SUBTRACTION (total carriers
+    from the payload-pruned scan minus invalid carriers observed on the
+    DLQ write) — report says dlq_observe, and an adversarial stream
+    that keeps sending DLQ-only keys stays on that zero-extra-scan
+    mechanism every epoch while the deferral semantics hold."""
+    table = SnapshotTable.create(str(tmp_path / "t"), LAKE_BASE, n_buckets=4)
+    for epoch in range(3):
+        batch = spark.createDataFrame(
+            [
+                _ev("insert", "r", f"ok{epoch}.py", 10 + epoch, {"stars": "5"}),
+                # invalid every epoch, always carrying the hostile key
+                _ev("insert", "r", f"bad{epoch}.py", -1, {"evil_key": "x"}),
+            ],
+            CH,
+        )
+        stats = apply_changes(spark, table, batch, epoch)
+        report = stats["schema_evolution"]
+        assert report["confirm_via"] == "dlq_observe", (epoch, report)
+        assert report["deferred_keys"] == ["evil_key"]
+        assert stats["dlq_rows"] == 1
+    names = [f.name for f in table.schema().fields]
+    assert "stars" in names and "evil_key" not in names
+    # the hostile key arriving on a VALID row still promotes normally
+    apply_changes(
+        spark,
+        table,
+        spark.createDataFrame(
+            [_ev("insert", "r", "legit.py", 99, {"evil_key": "ok"})], CH
+        ),
+        3,
+    )
+    assert "evil_key" in [f.name for f in table.schema().fields]
