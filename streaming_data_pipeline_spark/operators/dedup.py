@@ -37,21 +37,28 @@ def lww_dedup(
     """Return one row per key: the one with the greatest (lsn, commit).
 
     Output column order == input column order.
+
+    Single-phase since r6: ``max_by`` is a declarative aggregate with a
+    map-side PARTIAL phase (plan-pinned by test_plans.py's
+    test_lww_resolve_is_partial_aggregated), so a hot key's rows are
+    combined to ONE row per map task BEFORE the shuffle — per-reducer
+    input for any key is bounded by the map-task count regardless of
+    how skewed the batch is. The former two-phase salted variant
+    (groupBy(key, salt) then groupBy(key)) addressed exactly that
+    reducer flood, which partial aggregation already prevents; what it
+    actually did was shuffle + sort the full-width batch TWICE
+    (mostly-unique keys mean phase 1 barely reduces), doubling the most
+    expensive exchange on the merge path — measured ~2x the dedup cost
+    at 1M events. Salting remains the right tool only for aggregates
+    WITHOUT a partial phase (collect_list-style buffers), which this is
+    not. ``salt_buckets`` is retained for API compatibility and ignored.
     """
+    del salt_buckets  # see docstring: partial aggregation makes it moot
     cols = df.columns
     row = F.struct(*[F.col(c) for c in cols])
     ordk = F.struct(*[F.col(c) for c in order])
 
-    if salt_buckets > 1:
-        salt = F.pmod(F.xxhash64(*[F.col(c) for c in order]), F.lit(salt_buckets)).alias("_salt")
-        phase1 = (
-            df.groupBy(*key, salt)
-            .agg(F.max_by(row, ordk).alias("_r"))
-        )
-        ordk2 = F.struct(*[F.col(f"_r.{c}") for c in order])
-        winners = phase1.groupBy(*key).agg(F.max_by(F.col("_r"), ordk2).alias("_r"))
-    else:
-        winners = df.groupBy(*key).agg(F.max_by(row, ordk).alias("_r"))
+    winners = df.groupBy(*key).agg(F.max_by(row, ordk).alias("_r"))
     return winners.select(*[F.col(f"_r.{c}").alias(c) for c in cols])
 
 

@@ -91,11 +91,24 @@ def estimated_row_bytes(schema: T.StructType) -> F.Column:
     """Per-row serialized-size estimate (a Column) for the broadcast
     gate: measured octet lengths for strings/binary (the lake's ~KB
     `content` column is exactly what a row count cannot see), fixed
-    widths for numerics, a flat 16B guess for anything nested."""
+    widths for numerics. Nested columns (array/map/struct) are measured
+    from data too — octet_length(to_json(col)) — instead of the former
+    flat 16B guess (ADVICE r5: a batch-API caller merging an embedding
+    array column could pass the byte gate with a multi-GB broadcast).
+    Nested types carrying BINARY anywhere are not JSON-serializable;
+    they get a deliberately pessimistic 4 KiB/row constant, biasing the
+    gate toward the always-correct sort-merge fallback."""
     parts = [F.lit(_PER_FIELD_OVERHEAD * (len(schema.fields) + 1))]
     for f in schema.fields:
         if isinstance(f.dataType, (T.StringType, T.BinaryType)):
             parts.append(F.coalesce(F.octet_length(F.col(f.name)), F.lit(0)))
+        elif isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+            if "binary" in f.dataType.simpleString():
+                parts.append(F.lit(4096))
+            else:
+                parts.append(
+                    F.coalesce(F.octet_length(F.to_json(F.col(f.name))), F.lit(0))
+                )
         else:
             parts.append(
                 F.lit(_FIXED_TYPE_BYTES.get(type(f.dataType), 16))
@@ -138,6 +151,7 @@ def merge_resolved_frame(
     *,
     use_broadcast: bool,
     t_keys: DataFrame | None = None,
+    cluster_output: bool = False,
 ) -> DataFrame:
     """The MERGE resolution plan over aliased source (`_s_*`, with
     `_s__bucket`) and target (`_t_*`) frames: one output row per key,
@@ -158,7 +172,18 @@ def merge_resolved_frame(
     fold then runs exactly once (inside the left-outer leg) instead of
     twice per merge (ADVICE r4). Duplicate keys from MOR delta files
     are harmless to left_semi/left_anti semantics and only pad the
-    (batch-bounded) `present` broadcast by the version multiplicity."""
+    (batch-bounded) `present` broadcast by the version multiplicity.
+
+    ``cluster_output``: also establish the bucket-clustered distribution
+    the staged write needs. In the broadcast decomposition ONLY the
+    brand-new-keys leg is repartitioned (batch-bounded rows): the base
+    leg's scan already reads bucket-partitioned files, so every scan
+    task holds whole-bucket runs and the partitionBy writer splits them
+    per bucket — the table's bytes flow scan → map-side join → sorted
+    write with NO exchange at all (r6; previously the union was
+    repartitioned wholesale, shuffling the entire rewritten byte set
+    once more). The sort-merge fallback's join output is partitioned by
+    key hash, not bucket, so there the whole frame is repartitioned."""
     cond = (F.col("_s_repo").eqNullSafe(F.col("_t_repo"))) & (
         F.col("_s_path").eqNullSafe(F.col("_t_path"))
     )
@@ -198,6 +223,8 @@ def merge_resolved_frame(
             F.lit(True).alias("_applied"),
             F.lit(True).alias("_from_src"),
         )
+        if cluster_output:
+            new_rows = new_rows.repartition(F.col("_bucket"))
         return base_resolved.unionByName(new_rows)
 
     joined = s.join(t, cond, "full_outer")
@@ -211,7 +238,7 @@ def merge_resolved_frame(
             resolved_cols.append(
                 F.when(apply_src, F.col(f"_s_{c}")).otherwise(F.col(f"_t_{c}")).alias(c)
             )
-    return joined.select(
+    out = joined.select(
         *resolved_cols,
         F.coalesce(
             F.col("_s__bucket"), bucket_col(n_buckets, "_t_repo", "_t_path")
@@ -219,6 +246,9 @@ def merge_resolved_frame(
         apply_src.alias("_applied"),
         has_src.alias("_from_src"),
     )
+    if cluster_output:
+        out = out.repartition(F.col("_bucket"))
+    return out
 
 
 def append_delta(
@@ -362,7 +392,21 @@ def merge_into(
     # row per key per microbatch — bounded by batch size, not table size.
     src = src.persist()
     try:
-        touched = {r[0] for r in src.select("_bucket").distinct().collect()}
+        # ONE aggregate job over the cached batch yields everything the
+        # strategy decision needs: row count, estimated broadcast bytes
+        # (the full-width frame ships, so the ~KB content column must
+        # count — a row gate alone admits GB-scale broadcasts) and the
+        # touched-bucket set (collect_set is bounded by n_buckets).
+        # Previously discovery and the size gate were two separate jobs
+        # scanning the same cache per epoch.
+        stats = src.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(estimated_row_bytes(src.schema)).alias("b"),
+            F.collect_set("_bucket").alias("tb"),
+        ).first()
+        src_rows_n = int(stats["n"] or 0)
+        src_bytes_est = int(stats["b"] or 0)
+        touched = {int(b) for b in (stats["tb"] or [])}
         if not touched:
             ver = table.commit(
                 new_files=[], replaced_buckets=set(), schema=lake_schema,
@@ -406,18 +450,10 @@ def merge_into(
             spark, version=read_version, buckets=touched, resolved=False
         ).select(F.col("repo").alias("_t_repo"), F.col("path").alias("_t_path"))
 
-        # one agg over the cached batch: rows AND estimated broadcast
-        # bytes (the full-width frame ships, so the ~KB content column
-        # must count — a row gate alone admits GB-scale broadcasts)
-        stats = src.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(estimated_row_bytes(src.schema)).alias("b"),
-        ).first()
-        src_rows_n = int(stats["n"] or 0)
-        src_bytes_est = int(stats["b"] or 0)
         use_broadcast = cow_broadcast_decision(src_rows_n, src_bytes_est)
         result = merge_resolved_frame(
-            s, t, cols, n_buckets, use_broadcast=use_broadcast, t_keys=t_keys
+            s, t, cols, n_buckets, use_broadcast=use_broadcast, t_keys=t_keys,
+            cluster_output=True,
         )
         obs = Observation(f"merge-{epoch}")
         result = result.observe(
@@ -429,32 +465,48 @@ def merge_into(
         )
 
         staging = table.new_staging_dir(f"merge-e{epoch}")
-        (
-            result.drop("_applied", "_from_src")
-            .repartition(F.col("_bucket"))
-            .sortWithinPartitions("_bucket", *LAKE_KEY)
-            .write.mode("overwrite")
-            .partitionBy("_bucket")
-            .parquet(staging)
-        )
-        merged_files = table.collect_written_files(staging)
-        new_files = merged_files
+
+        def _write_merged() -> list[dict]:
+            (
+                result.drop("_applied", "_from_src")
+                .sortWithinPartitions("_bucket", *LAKE_KEY)
+                .write.mode("overwrite")
+                .partitionBy("_bucket")
+                .parquet(staging)
+            )
+            return table.collect_written_files(staging)
+
         if write_changelog:
             # the deduped source IS the epoch's change set (tombstones
             # included) — the same rows a MOR epoch writes as its delta.
             # Stale-vs-table losers are included here exactly as MOR
             # includes them; feed consumers LWW-resolve.
+            # The sidecar and the merged rewrite are INDEPENDENT outputs
+            # (the sidecar reads only the cached batch), so they run
+            # from two driver threads and the small sidecar write hides
+            # inside the bucket-rewrite's wall clock (guide §2.6)
+            # instead of serializing after it.
+            from concurrent.futures import ThreadPoolExecutor
+
             cl_staging = table.new_staging_dir(f"changelog-e{epoch}")
-            (
-                src.repartition(F.col("_bucket"))
-                .sortWithinPartitions("_bucket", *LAKE_KEY)
-                .write.mode("overwrite")
-                .partitionBy("_bucket")
-                .parquet(cl_staging)
-            )
-            new_files = new_files + table.collect_written_files(
-                cl_staging, kind="changelog"
-            )
+
+            def _write_changelog() -> list[dict]:
+                (
+                    src.repartition(F.col("_bucket"))
+                    .sortWithinPartitions("_bucket", *LAKE_KEY)
+                    .write.mode("overwrite")
+                    .partitionBy("_bucket")
+                    .parquet(cl_staging)
+                )
+                return table.collect_written_files(cl_staging, kind="changelog")
+
+            with ThreadPoolExecutor(max_workers=1) as pool:
+                cl_future = pool.submit(_write_changelog)
+                merged_files = _write_merged()
+                new_files = merged_files + cl_future.result()
+        else:
+            merged_files = _write_merged()
+            new_files = merged_files
         try:
             metrics = obs.get
             rows_applied = int(metrics["rows_applied"] or 0)

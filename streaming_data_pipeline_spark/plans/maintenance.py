@@ -44,19 +44,36 @@ def _rewrite_buckets(
     # publish if ANY concurrent commit changed these buckets' file set
     # since — a rewrite built on a stale read would drop those rows
     read_version = table.current_version()
-    df = table.read(spark, version=read_version, buckets=buckets, resolved=True)
-    if df_filter is not None:
-        df = df.filter(df_filter)
     # writer-unique staging (see SnapshotTable.new_staging_dir): a
     # concurrent rewriter must lose at the COMMIT, never by silently
     # overwriting another writer's staged files
     staging = table.new_staging_dir(operation)
     nb_at_write = table.metadata(read_version)["n_buckets"]
     bucket = F.pmod(F.xxhash64(F.col("repo"), F.col("path")), F.lit(nb_at_write))
-    (
-        df.withColumn("_bucket", bucket)
+    # SINGLE-shuffle rewrite (guide §2.4 "two operations keyed the same
+    # way share one exchange"): cluster by _bucket FIRST, then run the
+    # LWW fold grouped by (_bucket, repo, path). _bucket is a pure
+    # function of (repo, path), so the group keys are equivalent to the
+    # plain key fold — and hashpartitioning(_bucket) satisfies the
+    # aggregation's ClusteredDistribution, so the fold AND the bucketed
+    # sorted write both reuse the one exchange. The previous shape
+    # (read resolved=True, then repartition(_bucket)) shuffled the whole
+    # rewritten byte set twice: once for the resolve groupBy, once for
+    # the write clustering.
+    from ..operators.dedup import lww_dedup
+
+    df = (
+        table.read(spark, version=read_version, buckets=buckets, resolved=False)
+        .withColumn("_bucket", bucket)
         .repartition(F.col("_bucket"))
-        .sortWithinPartitions("_bucket", "repo", "path")
+    )
+    df = lww_dedup(
+        df, key=("_bucket", "repo", "path"), order=("lsn", "commit"), salt_buckets=1
+    )
+    if df_filter is not None:
+        df = df.filter(df_filter)
+    (
+        df.sortWithinPartitions("_bucket", "repo", "path")
         .write.mode("overwrite")
         .partitionBy("_bucket")
         .parquet(staging)

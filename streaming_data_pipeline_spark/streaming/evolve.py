@@ -184,12 +184,31 @@ def evolve_and_promote(
     if fresh and invalid_counts is not None:
         # zero-scan confirmation: a key whose every carrier is invalid
         # (total carriers == invalid carriers) must not evolve the
-        # schema, and must not feed the rename heuristic either
+        # schema, and must not feed the rename heuristic either.
+        # Plausibility guard (ADVICE r5): the two counts come from two
+        # independent jobs over the same source — with a
+        # non-deterministic source they can disagree. An invalid count
+        # STRICTLY ABOVE the total is impossible under a stable source,
+        # so such keys fall back to the confirm_source scan (when
+        # available) instead of being silently deferred for the epoch.
+        implausible = {
+            k for k in fresh if invalid_counts.get(k, 0) > counts.get(k, 0)
+        }
         deferred = sorted(
-            k for k in fresh if counts.get(k, 0) <= invalid_counts.get(k, 0)
+            k
+            for k in fresh - implausible
+            if counts.get(k, 0) <= invalid_counts.get(k, 0)
         )
         fresh -= set(deferred)
         confirm_via = "dlq_observe"
+        if implausible and confirm_source is not None:
+            confirmed = payload_key_counts(confirm_source, only=implausible)
+            re_deferred = sorted(
+                k for k in implausible if confirmed.get(k, 0) == 0
+            )
+            deferred = sorted(set(deferred) | set(re_deferred))
+            fresh -= set(re_deferred)
+            confirm_via = "dlq_observe+valid_scan"
     elif confirm_source is not None and fresh:
         # fallback path: one aggregate over the valid split restricted
         # to the candidates (content-bearing — the validity predicate

@@ -350,12 +350,14 @@ def test_invalid_counts_subtraction_unit(spark):
     assert "good_key" in names and "bad_key" not in names
 
 
-def test_apply_confirms_dlq_only_keys_without_valid_scan(spark, tmp_path):
-    """The apply path confirms candidates by SUBTRACTION (total carriers
-    from the payload-pruned scan minus invalid carriers observed on the
-    DLQ write) — report says dlq_observe, and an adversarial stream
-    that keeps sending DLQ-only keys stays on that zero-extra-scan
-    mechanism every epoch while the deferral semantics hold."""
+def test_apply_confirms_dlq_only_keys_on_candidate_epochs(spark, tmp_path):
+    """The apply path confirms candidate new keys POSITIVELY against the
+    valid split (confirm_via == valid_scan), and only on epochs that
+    actually detect candidates — the confirmation aggregate overlaps the
+    DLQ write on the pool thread instead of blocking on it (r6: the r5
+    DLQ-observation ride serialized the key scan ahead of the DLQ launch
+    every epoch). Deferral semantics are unchanged: a DLQ-only key never
+    grows the schema."""
     table = SnapshotTable.create(str(tmp_path / "t"), LAKE_BASE, n_buckets=4)
     for epoch in range(3):
         batch = spark.createDataFrame(
@@ -368,7 +370,7 @@ def test_apply_confirms_dlq_only_keys_without_valid_scan(spark, tmp_path):
         )
         stats = apply_changes(spark, table, batch, epoch)
         report = stats["schema_evolution"]
-        assert report["confirm_via"] == "dlq_observe", (epoch, report)
+        assert report["confirm_via"] == "valid_scan", (epoch, report)
         assert report["deferred_keys"] == ["evil_key"]
         assert stats["dlq_rows"] == 1
     names = [f.name for f in table.schema().fields]
