@@ -179,8 +179,16 @@ def ngram_jaccard_pairs(
     before the join (prefix filtering) — without it one stop-shingle
     shared by every document makes the join quadratic."""
     # shingle each document ONCE (Arrow-batched kernel); the inverted
-    # index rows carry the per-doc sizes along
-    sh = shingle_rows(df, text_col, n, distinct=True)
+    # index rows carry the per-doc sizes along. localCheckpoint(eager):
+    # the frame feeds THREE consumers (the document-frequency aggregate
+    # and both self-join sides) — without the materialization the
+    # Python shingling kernel re-runs once per consumer (guide §4: the
+    # JVM↔Python crossing is the expensive part; measured 3x the kernel
+    # cost per call). A checkpoint, not persist(): CacheManager would
+    # match the identical plan across separate calls and silently serve
+    # a later invocation from memory — cross-run result caching the
+    # bench must not see.
+    sh = shingle_rows(df, text_col, n, distinct=True).localCheckpoint(eager=True)
     joinable = sh
     if max_shingle_df is not None:
         rare = (
@@ -292,7 +300,10 @@ def verify_jaccard_pairs(
     against the documents' shingle sets — the shared verify stage of
     minhash_lsh_pairs, exposed for incremental refresh (which verifies
     candidates against a DELTA-sized doc set, not the corpus)."""
-    sets = shingle_sets(docs, text_col, n)
+    # both join sides read the same sets — checkpoint so the shingling
+    # kernel runs once (localCheckpoint, not persist — see
+    # ngram_jaccard_pairs)
+    sets = shingle_sets(docs, text_col, n).localCheckpoint(eager=True)
     a_sets = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"))
     b_sets = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"))
     inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
@@ -330,8 +341,15 @@ def minhash_lsh_pairs(
     identical signatures, making the WHOLE pipeline — signatures, band
     buckets, surviving pairs — oracle-checkable end to end; ~3× slower,
     so the fast path stays default)."""
-    sets = shingle_sets(df, text_col, n)
-    buckets = _band_buckets_from_sets(sets, k=k, bands=bands, seed=seed, hash_fn=hash_fn)
+    # sets feed the band-bucket aggregation AND both verify-join sides;
+    # buckets feed both candidate-join sides. Checkpoint each once so
+    # the Arrow shingling kernel runs ONE time and the k-permutation
+    # signature aggregate ONE time instead of once per consumer
+    # (localCheckpoint, not persist — see ngram_jaccard_pairs).
+    sets = shingle_sets(df, text_col, n).localCheckpoint(eager=True)
+    buckets = _band_buckets_from_sets(
+        sets, k=k, bands=bands, seed=seed, hash_fn=hash_fn
+    ).localCheckpoint(eager=True)
     cand = (
         buckets.alias("x")
         .join(buckets.alias("y"), ["band", "bucket"])
@@ -407,6 +425,9 @@ def simhash_near_pairs(
     base, rem = divmod(width, n_chunks)
     widths = [base + 1 if i < rem else base for i in range(n_chunks)]
     offsets = [sum(widths[:i]) for i in range(n_chunks)]
+    # the chunk frame self-joins: checkpoint it so the 60/64-way
+    # bit-vote aggregation runs once, not once per join side
+    # (localCheckpoint, not persist — see ngram_jaccard_pairs).
     sig = simhash64(df, text_col, hash_fn)
     chunks = sig.select(
         "doc_id",
@@ -424,7 +445,9 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("c"),
-    ).select("doc_id", "simhash", F.col("c.chunk_id").alias("chunk_id"), F.col("c.chunk").alias("chunk"))
+    ).select(
+        "doc_id", "simhash", F.col("c.chunk_id").alias("chunk_id"), F.col("c.chunk").alias("chunk")
+    ).localCheckpoint(eager=True)
     cand = (
         chunks.alias("x")
         .join(chunks.alias("y"), ["chunk_id", "chunk"])

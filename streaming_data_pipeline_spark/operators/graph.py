@@ -49,9 +49,15 @@ def connected_components(
     Deterministic; raises if not converged within ``max_iters`` rounds
     (with pointer jumping that bounds cluster diameter at ~2^max_iters,
     far beyond any real near-dup graph)."""
+    from pyspark.sql import Observation
+
+    # checkpoint the EDGE projection before the symmetrization union:
+    # both union legs read `e`, so an expensive upstream pair plan
+    # (e.g. the n-gram inverted-index join) would otherwise execute
+    # twice inside the sym materialization (r6).
     e = edges.select(
         F.col(src).cast("long").alias("n"), F.col(dst).cast("long").alias("m")
-    )
+    ).localCheckpoint(eager=True)
     sym = e.unionByName(
         e.select(F.col("m").alias("n"), F.col("n").alias("m"))
     ).distinct()
@@ -60,7 +66,7 @@ def connected_components(
     labels = labels.localCheckpoint(eager=True)
 
     prev_sum = None
-    for _ in range(max_iters):
+    for i in range(max_iters):
         # 1. propagate the minimum label across one hop of edges
         neigh_min = (
             sym.join(labels.select(F.col("n").alias("m"), "label"), "m")
@@ -77,6 +83,14 @@ def connected_components(
         # Label values are always node ids (mins of initial ids), so the
         # lookup side is the labels frame itself.
         jump = labels.select(F.col("n").alias("label"), F.col("label").alias("_jl"))
+        # labels only decrease ⇒ equal sums mean a fixpoint (one scalar
+        # metric per round — no row-diff join). decimal(38,0): labels are
+        # full-range xxhash64 ids, and a LONG sum overflows under ANSI
+        # mode on the first real corpus. The sum RIDES the round's
+        # checkpoint materialization as an Observation, so each round is
+        # exactly ONE job — the former separate agg job per round halved
+        # iteration throughput on scheduling overhead alone (r6).
+        obs = Observation(f"cc-round-{i}")
         labels = (
             labels.join(jump, "label", "left")
             .select(
@@ -85,13 +99,10 @@ def connected_components(
                     "label"
                 ),
             )
+            .observe(obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("s"))
             .localCheckpoint(eager=True)
         )
-        # labels only decrease ⇒ equal sums mean a fixpoint (one scalar
-        # agg per round — no row-diff join). decimal(38,0): labels are
-        # full-range xxhash64 ids, and a LONG sum overflows under ANSI
-        # mode on the first real corpus.
-        s = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+        s = obs.get["s"]
         if s == prev_sum:
             return labels.select(F.col("n").alias("node"), F.col("label").alias("cluster_id"))
         prev_sum = s

@@ -63,6 +63,18 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let the planner pick shuffled-hash over sort-merge when its
+        # size conditions hold (guide §3.1): no sort on either side for
+        # moderate equi-joins (e.g. the n-gram inverted-index self-join
+        # — measured a consistent few-% win); broadcast decisions are
+        # unaffected, and AQE still rewrites at runtime.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # the engine's epoch loops build one broadcast + several staged
+        # frames per epoch; ContextCleaner frees their blocks only when
+        # the driver GCs. On a large heap (48g bench) that can be never
+        # — until a multi-second full GC lands mid-epoch. A periodic GC
+        # bounds the accumulation (cost: a sub-second minor GC/2 min).
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.compression.codec", "snappy")
