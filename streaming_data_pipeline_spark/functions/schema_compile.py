@@ -113,8 +113,42 @@ def compiled_errors(schema_name: str, path: str | None = None) -> Column:
     return F.concat_ws("; ", *error_expressions(_rules_as_dicts(rules)))
 
 
+def violation_conditions(rules: list[dict]) -> list[Column]:
+    """The bare boolean when-conditions of :func:`error_expressions`,
+    without the message literals — the cheap form for validity routing
+    (no per-row string building on the hot valid path)."""
+    conds: list[Column] = []
+    for r in rules:
+        f = r["field"]
+        c = F.col(f)
+        if r.get("required"):
+            conds.append(c.isNull())
+        if "enum" in r:
+            conds.append(c.isNotNull() & ~c.isin(*r["enum"]))
+        if "minimum" in r:
+            conds.append(c < F.lit(r["minimum"]))
+        if "required_unless" in r:
+            guard = r["required_unless"]
+            conds.append(
+                (F.col(guard["field"]) != F.lit(guard["equals"])) & c.isNull()
+            )
+    return conds
+
+
 def compiled_valid(schema_name: str, path: str | None = None) -> Column:
-    return compiled_errors(schema_name, path) == ""
+    """Boolean validity predicate, exactly `compiled_errors == ''` but
+    WITHOUT building the message string per row: the error column is
+    empty iff no rule's when-condition is TRUE (a NULL condition
+    contributes no message — the documented null semantics), so
+    validity is the conjunction of NOT coalesce(cond, false). The apply
+    path evaluates this on every row of every epoch; the string form is
+    built only for the (small) invalid split (guide §1.2 per-task
+    work)."""
+    rules, _ = load_schema_doc(schema_name, path)
+    valid = F.lit(True)
+    for cond in violation_conditions(_rules_as_dicts(rules)):
+        valid = valid & ~F.coalesce(cond, F.lit(False))
+    return valid
 
 
 def apply_doc_defaults(df: DataFrame, schema_name: str, path: str | None = None) -> DataFrame:

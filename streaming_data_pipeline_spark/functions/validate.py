@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .schema_compile import compiled_errors
+from .schema_compile import compiled_errors, compiled_valid
 
 VALID_FLAG = "_valid"
 ERROR_COL = "_error_message"
@@ -77,13 +77,17 @@ def apply_defaults(df: DataFrame) -> DataFrame:
 def validate_and_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """R1 — single-pass router: returns (valid, invalid_with_error).
 
-    One `withColumn` + twin filters; inside `foreachBatch` the caller
-    persists the flagged frame so the source is scanned once (SURVEY.md
-    R1: "split, not two scans").
+    Twin filters over one boolean predicate; inside `foreachBatch` the
+    caller persists the flagged frame so the source is scanned once
+    (SURVEY.md R1: "split, not two scans").
+
+    The VALID side filters on the compiled boolean predicate — exactly
+    `validation_errors() == ''` by construction (schema_compile's
+    compiled_valid), but with no per-row message-string concatenation
+    on the path every epoch's every row takes; the error string is
+    built only for rows that already failed (the small invalid split).
     """
-    flagged = df.withColumn(ERROR_COL, validation_errors()).withColumn(
-        VALID_FLAG, F.col(ERROR_COL) == ""
-    )
-    valid = flagged.filter(F.col(VALID_FLAG)).drop(VALID_FLAG, ERROR_COL)
-    invalid = flagged.filter(~F.col(VALID_FLAG)).drop(VALID_FLAG)
+    ok = compiled_valid("change_event")
+    valid = df.filter(ok)
+    invalid = df.filter(~ok).withColumn(ERROR_COL, validation_errors())
     return valid, invalid

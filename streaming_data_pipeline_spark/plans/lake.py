@@ -563,12 +563,19 @@ class SnapshotTable:
             # losing the version race must not leak the staged inverse
             # sidecar (data files no manifest references — nothing would
             # ever clean them up) nor the speculative manifest written
-            # above (ADVICE r4). Rollback deliberately never retries:
-            # the inverse was computed against a now-stale head.
-            if cl_entries:
+            # above (ADVICE r4). The staging DIR itself exists whenever
+            # spark was passed — even with an EMPTY inverse (cl_entries
+            # == []) it holds a _SUCCESS marker, so its cleanup is gated
+            # on the dir's existence, not on cl_entries (ADVICE r5); the
+            # manifest removal stays gated on cl_entries (only then was
+            # a speculative manifest written). Rollback deliberately
+            # never retries: the inverse was computed against a
+            # now-stale head.
+            if spark is not None:
                 import shutil
 
                 shutil.rmtree(staging, ignore_errors=True)
+            if cl_entries:
                 try:
                     os.remove(os.path.join(self.meta_dir, man_name))
                 except OSError:

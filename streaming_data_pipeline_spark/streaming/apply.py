@@ -43,9 +43,16 @@ def dlq_fan_out(dlq: DataFrame) -> DataFrame:
     ``spark.sql.shuffle.partitions`` and lets AQE coalescePartitions
     shrink small epochs to few files while large invalid splits keep
     the full width. ``SDP_DLQ_WRITE_PARTITIONS`` pins a fixed count
-    (e.g. to cap file counts on a high-churn production DLQ)."""
+    (e.g. to cap file counts on a high-churn production DLQ).
+
+    The key mixes in spark_partition_id() (ADVICE r5): a hot producer
+    emitting many IDENTICAL malformed events would otherwise hash every
+    copy to one writer, recreating the single-writer funnel. The input
+    partition id is deterministic under task retry (same partitioning,
+    same id — unlike a rand()/monotonic salt, guide §2.5), so replayed
+    epochs land rows in the same shuffle partition."""
     fixed = os.environ.get("SDP_DLQ_WRITE_PARTITIONS")
-    key = F.xxhash64(F.col("original_event"))
+    key = F.xxhash64(F.col("original_event"), F.spark_partition_id())
     if fixed:
         return dlq.repartition(int(fixed), key)
     return dlq.repartition(key)

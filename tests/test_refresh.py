@@ -995,3 +995,69 @@ def test_refresh_fuzz_maintenance_interleaved(spark, tmp_path):
         assert _index_rows(spark, out) == _index_rows(spark, outB), f"step {step}"
         assert _rows(spark, f"{out}/_near/pairs") == _rows(spark, f"{outB}/_near/pairs"), f"step {step}"
         assert _rows(spark, f"{out}/_packing") == _rows(spark, f"{outB}/_packing"), f"step {step}"
+
+
+def test_packing_refresh_rewrites_only_changed_groups(spark, tmp_path):
+    """VERDICT r5 next #3: the packing sidecar refresh's unit of work is
+    the (lang, file_group) GROUP, not the lang stratum — after a delta
+    touching one doc, every untouched group's _packing file must be
+    byte-identical AND not rewritten (same mtime), the changed doc's
+    group must be re-derived, and the refreshed sidecar must still equal
+    a full re-export's."""
+    import hashlib
+    import os
+
+    table = SnapshotTable.create(str(tmp_path / "lake"), LAKE_BASE, n_buckets=8)
+    rows = [
+        _ev("insert", f"doc{i:03d}.py", i + 1,
+            " ".join(f"d{i}w{j}" for j in range(10)) + "\n")
+        for i in range(24)
+    ]
+    apply_changes(spark, table, _batch(spark, rows), 0)
+    out = str(tmp_path / "s")
+    export_training_mix(
+        spark, table, out, rates=RATES, default_rate=100,
+        near_dup_threshold=0.6, pack_budget=32, file_groups=4,
+    )
+
+    def packing_files(root):
+        snap = {}
+        for dp, _dirs, fns in os.walk(os.path.join(root, "_packing")):
+            for fn in fns:
+                if fn.endswith(".parquet"):
+                    p = os.path.join(dp, fn)
+                    with open(p, "rb") as f:
+                        digest = hashlib.sha256(f.read()).hexdigest()
+                    snap[os.path.relpath(p, root)] = (os.stat(p).st_mtime_ns, digest)
+        return snap
+
+    before = packing_files(out)
+    assert len({rel.split("/")[2] for rel in before}) >= 3  # several groups live
+
+    target = "doc003.py"
+    g = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit("r"), F.lit(target)), F.lit(4)).alias("g")
+    ).collect()[0]["g"]
+    apply_changes(
+        spark, table,
+        _batch(spark, [_ev("update", target, 300, "changed words here entirely\n")]),
+        1,
+    )
+    refresh_training_mix(spark, table, out)
+    after = packing_files(out)
+
+    changed_dir = f"file_group={g}"
+    touched = [rel for rel in after if changed_dir in rel]
+    assert touched, "changed group lost its packing file"
+    for rel, meta in after.items():
+        if changed_dir in rel:
+            assert before.get(rel) != meta, "changed group file not re-derived"
+        else:
+            assert before.get(rel) == meta, f"untouched group file rewritten: {rel}"
+
+    outB = str(tmp_path / "full")
+    export_training_mix(
+        spark, table, outB, rates=RATES, default_rate=100,
+        near_dup_threshold=0.6, pack_budget=32, file_groups=4,
+    )
+    assert _rows(spark, f"{out}/_packing") == _rows(spark, f"{outB}/_packing")
